@@ -1,0 +1,356 @@
+"""One-shot on-device polygonization (marching tetrahedra) + embedded
+tetrahedral mesh extraction.
+
+TPU-native replacement for the reference's 7-pass OpenCL marching-cubes
+pipeline (driver src/implicit/OclPolygonizer.cpp:644-757, kernels
+data/opencl/Polygonizer.cl:1215-1670) and the voxel tetrahedralizer
+(data/opencl/Tetrahedralizer.cl:3-132). Key structural changes:
+
+  * the whole pipeline — grid field eval, edge table, prefix-sum
+    compaction, vertex attributes, element emission, tet extraction — is
+    ONE jitted function: the reference's two GPU->host->GPU scan
+    round-trips per mesh (OclPolygonizer.cpp:660-731) become on-device
+    `jnp.cumsum`;
+  * marching tetrahedra over the Kuhn 6-tet decomposition (see
+    mesh.tables) replaces table-heavy marching cubes, so the render
+    surface and the FEM tet mesh come from one consistent decomposition,
+    and surface vertices get exact barycentric embeddings in tet edges
+    (fixing the reference's fragile index-correspondence coupling,
+    src/main.cpp:833 + OclPolygonizer.cpp:1543-1596);
+  * outputs are fixed-capacity (static shapes) with device-side counts;
+  * vertex positions/normals are differentiable w.r.t. scene parameters
+    (linear interpolation of field roots like the reference default,
+    Polygonizer.cl:1477; normals via jax.grad instead of forward
+    differences).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..blob.scene import Scene
+from ..blob.types import DEFAULT_CELL_SIZE, ISO_VALUE
+from ..ops.field import field, field_and_color, gradient
+from . import tables as T
+
+
+# ----------------------------------------------------------------- grid spec
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Host-side (static) voxel grid: origin, vertex dims, cell size."""
+
+    lo: tuple[float, float, float]
+    dims: tuple[int, int, int]  # number of grid VERTICES per axis
+    cellsize: float
+
+    @property
+    def n_vertices(self) -> int:
+        x, y, z = self.dims
+        return x * y * z
+
+    @property
+    def n_cells(self) -> int:
+        x, y, z = self.dims
+        return (x - 1) * (y - 1) * (z - 1)
+
+
+def grid_for_scene(
+    scene: Scene, cellsize: float = DEFAULT_CELL_SIZE, margin: float = 0.1
+) -> GridSpec:
+    """Grid covering the scene AABB (reference OclPolygonizer.cpp:1363-1379
+    derives grid dims from AABB/cellsize the same way)."""
+    lo = np.asarray(scene.bbox_lo) - margin
+    hi = np.asarray(scene.bbox_hi) + margin
+    dims = tuple(int(d) for d in np.maximum(np.ceil((hi - lo) / cellsize) + 1, 2))
+    return GridSpec(tuple(float(v) for v in lo), dims, float(cellsize))
+
+
+# ----------------------------------------------------------------- outputs
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SurfaceMesh:
+    """Fixed-capacity triangle mesh with per-vertex attributes and the
+    barycentric edge embedding used for FEM coupling."""
+
+    verts: jax.Array        # [Vcap, 3]
+    normals: jax.Array      # [Vcap, 3]
+    colors: jax.Array       # [Vcap, 4]
+    tris: jax.Array         # [Tcap, 3] vertex indices
+    n_verts: jax.Array      # scalar i32
+    n_tris: jax.Array       # scalar i32
+    edge_nodes: jax.Array   # [Vcap, 2] grid-vertex linear ids (a, b)
+    edge_t: jax.Array       # [Vcap] interpolation parameter along (a, b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TetMesh:
+    """Fixed-capacity embedded tetrahedral mesh (6 tets per active voxel,
+    reference Tetrahedralizer.cl:67-132)."""
+
+    nodes: jax.Array         # [Ncap, 3] rest positions
+    tets: jax.Array          # [TetCap, 4] node indices
+    n_nodes: jax.Array       # scalar i32
+    n_tets: jax.Array        # scalar i32
+    grid_to_node: jax.Array  # [n_grid_vertices] node id or -1
+
+
+def _shift(a: jax.Array, off, fill):
+    """a[v + off] on a 3-D grid, `fill` outside."""
+    ox, oy, oz = int(off[0]), int(off[1]), int(off[2])
+    x, y, z = a.shape[:3]
+    pad = [(0, ox), (0, oy), (0, oz)] + [(0, 0)] * (a.ndim - 3)
+    b = jnp.pad(a, pad, constant_values=fill)
+    return b[ox : ox + x, oy : oy + y, oz : oz + z]
+
+
+def _grid_points(grid: GridSpec):
+    X, Y, Z = grid.dims
+    ii = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
+    lo = jnp.asarray(grid.lo, jnp.float32)
+    return lo + jnp.stack([ii, jj, kk], -1) * grid.cellsize
+
+
+def _lin(grid: GridSpec, i, j, k):
+    X, Y, Z = grid.dims
+    return (i * Y + j) * Z + k
+
+
+@partial(jax.jit, static_argnames=("grid", "vcap", "tcap", "iso"))
+def polygonize(
+    scene: Scene,
+    grid: GridSpec,
+    vcap: int,
+    tcap: int,
+    iso: float = ISO_VALUE,
+) -> SurfaceMesh:
+    """Extract the iso-surface triangle mesh. Pure, jitted, differentiable."""
+    X, Y, Z = grid.dims
+    h = grid.cellsize
+    pts = _grid_points(grid)                       # [X,Y,Z,3]
+    F = field(scene, pts.reshape(-1, 3)).reshape(X, Y, Z)
+    inside = F >= iso
+
+    # ---- edge table: 7 direction masks per grid vertex ------------------
+    # (reference builds 3 axis edges per vertex for MC,
+    #  Polygonizer.cl:1353-1415; tets additionally use face/main diagonals)
+    crossed_list, t_list, fb_list = [], [], []
+    for m in range(1, 8):
+        off = T.DIR_OFFSET[m]
+        nb_in = _shift(inside, off, False)
+        valid = jnp.ones((X, Y, Z), bool)
+        if off[0]:
+            valid = valid & (jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 0) < X - 1)
+        if off[1]:
+            valid = valid & (jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1) < Y - 1)
+        if off[2]:
+            valid = valid & (jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 2) < Z - 1)
+        crossed_list.append((inside != nb_in) & valid)
+        fb = _shift(F, off, 1e9)
+        fb_list.append(fb)
+    crossed = jnp.stack(crossed_list, -1)          # [X,Y,Z,7]
+    Fb = jnp.stack(fb_list, -1)                    # [X,Y,Z,7]
+
+    flat_crossed = crossed.reshape(-1)
+    vid = jnp.cumsum(flat_crossed.astype(jnp.int32)) - 1  # slot -> vertex id
+    n_verts = jnp.where(flat_crossed.size > 0, vid[-1] + 1, 0)
+
+    # ---- vertex positions: linear root on each crossed edge -------------
+    fa = F[..., None]                              # [X,Y,Z,1]
+    denom = Fb - fa
+    t = (iso - fa) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t = jnp.clip(t, 0.0, 1.0)                      # [X,Y,Z,7]
+    offs = jnp.asarray(T.DIR_OFFSET[1:8], jnp.float32) * h  # [7,3]
+    pa = pts[..., None, :]                         # [X,Y,Z,1,3]
+    pos = pa + t[..., None] * offs[None, None, None]        # [X,Y,Z,7,3]
+
+    dst = jnp.where(flat_crossed, vid, vcap)
+    verts = jnp.zeros((vcap, 3), pos.dtype).at[dst].set(
+        pos.reshape(-1, 3), mode="drop"
+    )
+    edge_t = jnp.zeros((vcap,), t.dtype).at[dst].set(t.reshape(-1), mode="drop")
+
+    # Edge endpoints (grid linear ids) for FEM barycentric coupling.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 2)
+    lin_a = _lin(grid, ii, jj, kk)[..., None]      # [X,Y,Z,1]
+    offs_i = jnp.asarray(T.DIR_OFFSET[1:8], jnp.int32)
+    lin_b = _lin(
+        grid,
+        ii[..., None] + offs_i[None, None, None, :, 0],
+        jj[..., None] + offs_i[None, None, None, :, 1],
+        kk[..., None] + offs_i[None, None, None, :, 2],
+    )
+    ab = jnp.stack(
+        [jnp.broadcast_to(lin_a, lin_b.shape).reshape(-1), lin_b.reshape(-1)], -1
+    )
+    edge_nodes = jnp.zeros((vcap, 2), jnp.int32).at[dst].set(ab, mode="drop")
+
+    # ---- per-vertex attributes (normals via autodiff, colors) -----------
+    g = gradient(scene, verts)
+    normals = -g * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(g * g, -1, keepdims=True), 1e-24)
+    )
+    _, colors = field_and_color(scene, verts)
+
+    # ---- triangle emission: marching tets over the Kuhn split -----------
+    CX, CY, CZ = X - 1, Y - 1, Z - 1
+    corner_in = jnp.stack(
+        [
+            _shift(inside, T.CORNER_OFFSET[b], False)[:CX, :CY, :CZ]
+            for b in range(8)
+        ],
+        -1,
+    )                                               # [CX,CY,CZ,8] bool
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, (CX, CY, CZ), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (CX, CY, CZ), 1)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (CX, CY, CZ), 2)
+
+    tri_count_tbl = jnp.asarray(T.TRI_COUNT, jnp.int32)      # [6,16]
+    tri_table = jnp.asarray(T.TRI_TABLE, jnp.int32)          # [6,16,2,3]
+    edge_base = jnp.asarray(T.TET_EDGE_BASE, jnp.int32)      # [6,6]
+    edge_dir = jnp.asarray(T.TET_EDGE_DIR, jnp.int32)        # [6,6]
+    corner_off = jnp.asarray(T.CORNER_OFFSET, jnp.int32)     # [8,3]
+
+    cases = []
+    for k in range(6):
+        case_k = jnp.zeros((CX, CY, CZ), jnp.int32)
+        for j in range(4):
+            case_k += corner_in[..., T.TET_CORNERS[k, j]].astype(jnp.int32) << j
+        cases.append(case_k)
+    cases = jnp.stack(cases, -1)                    # [CX,CY,CZ,6]
+    ntri = tri_count_tbl[jnp.arange(6)[None, None, None, :], cases]
+    flat_ntri = ntri.reshape(-1)
+    tri_start = jnp.cumsum(flat_ntri) - flat_ntri   # [C*6]
+    n_tris = jnp.sum(flat_ntri)
+    tri_start = tri_start.reshape(CX, CY, CZ, 6)
+
+    vid3 = vid  # slot -> vertex id (flat)
+    tris = jnp.full((tcap, 3), 0, jnp.int32)
+    for k in range(6):
+        case_k = cases[..., k]
+        for s in range(2):
+            emit = s < ntri[..., k]
+            tri_edges = tri_table[k, case_k, s]     # [CX,CY,CZ,3] local edge
+            tri_idx = []
+            for v in range(3):
+                e = tri_edges[..., v]
+                bmask = edge_base[k, e]             # cube corner mask
+                dmask = edge_dir[k, e]              # direction mask 1..7
+                boff = corner_off[bmask]            # [...,3]
+                lin_v = _lin(grid, ci + boff[..., 0], cj + boff[..., 1],
+                             ck + boff[..., 2])
+                slot = lin_v * 7 + (dmask - 1)
+                tri_idx.append(vid3[slot.reshape(-1)])
+            tri_ijk = jnp.stack(tri_idx, -1)        # [C, 3]
+            dst_t = jnp.where(
+                emit.reshape(-1), tri_start[..., k].reshape(-1) + s, tcap
+            )
+            tris = tris.at[dst_t].set(tri_ijk, mode="drop")
+
+    return SurfaceMesh(
+        verts=verts,
+        normals=normals,
+        colors=colors,
+        tris=tris,
+        n_verts=n_verts.astype(jnp.int32),
+        n_tris=n_tris.astype(jnp.int32),
+        edge_nodes=edge_nodes,
+        edge_t=edge_t,
+    )
+
+
+@partial(jax.jit, static_argnames=("grid", "ncap", "tetcap", "iso"))
+def extract_tet_mesh(
+    scene: Scene,
+    grid: GridSpec,
+    ncap: int,
+    tetcap: int,
+    iso: float = ISO_VALUE,
+) -> TetMesh:
+    """Embedded tet mesh: 6 Kuhn tets for every voxel with any inside
+    corner (reference TetMeshCells/TetMeshVertices/TetMeshElements,
+    data/opencl/Tetrahedralizer.cl:3-132 — scan round-trips replaced by
+    on-device cumsum)."""
+    X, Y, Z = grid.dims
+    pts = _grid_points(grid)
+    F = field(scene, pts.reshape(-1, 3)).reshape(X, Y, Z)
+    inside = F >= iso
+
+    CX, CY, CZ = X - 1, Y - 1, Z - 1
+    corner_in = jnp.stack(
+        [
+            _shift(inside, T.CORNER_OFFSET[b], False)[:CX, :CY, :CZ]
+            for b in range(8)
+        ],
+        -1,
+    )
+    used_cell = jnp.any(corner_in, -1)              # [CX,CY,CZ]
+
+    # A grid vertex is a node if any of its (up to 8) incident cells is
+    # used: node v is corner b of cell v - offset(b).
+    used_pad = jnp.pad(used_cell, [(1, 1), (1, 1), (1, 1)])
+    node_used = jnp.zeros((X, Y, Z), bool)
+    for b in range(8):
+        ox, oy, oz = (int(v) for v in T.CORNER_OFFSET[b])
+        node_used = node_used | used_pad[
+            1 - ox : 1 - ox + X, 1 - oy : 1 - oy + Y, 1 - oz : 1 - oz + Z
+        ]
+
+    flat_used = node_used.reshape(-1)
+    nid = jnp.cumsum(flat_used.astype(jnp.int32)) - 1
+    n_nodes = jnp.where(flat_used.size > 0, nid[-1] + 1, 0)
+    grid_to_node = jnp.where(flat_used, nid, -1)
+
+    dstn = jnp.where(flat_used, nid, ncap)
+    nodes = jnp.zeros((ncap, 3), pts.dtype).at[dstn].set(
+        pts.reshape(-1, 3), mode="drop"
+    )
+
+    # Tets: 6 per used cell, corner order from the Kuhn tables.
+    ci = jax.lax.broadcasted_iota(jnp.int32, (CX, CY, CZ), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (CX, CY, CZ), 1)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (CX, CY, CZ), 2)
+    flat_uc = used_cell.reshape(-1)
+    cell_rank = jnp.cumsum(flat_uc.astype(jnp.int32)) - 1
+    n_tets = (cell_rank[-1] + 1) * 6 if flat_uc.size else 0
+    n_tets = jnp.where(flat_uc.size > 0, (cell_rank[-1] + 1) * 6, 0)
+
+    tets = jnp.zeros((tetcap, 4), jnp.int32)
+    for k in range(6):
+        corner_ids = []
+        for j in range(4):
+            ox, oy, oz = (int(v) for v in T.CORNER_OFFSET[T.TET_CORNERS[k, j]])
+            lin_v = _lin(grid, ci + ox, cj + oy, ck + oz).reshape(-1)
+            corner_ids.append(nid[lin_v])
+        tet4 = jnp.stack(corner_ids, -1)            # [C, 4]
+        dst = jnp.where(flat_uc, cell_rank * 6 + k, tetcap)
+        tets = tets.at[dst].set(tet4, mode="drop")
+
+    return TetMesh(
+        nodes=nodes,
+        tets=tets,
+        n_nodes=n_nodes.astype(jnp.int32),
+        n_tets=n_tets.astype(jnp.int32),
+        grid_to_node=grid_to_node,
+    )
+
+
+def default_caps(grid: GridSpec) -> tuple[int, int]:
+    """Vertex/triangle capacity heuristic: surface area scales ~G^(2/3);
+    generous 2-D bound with headroom (reference bounds MPUs at 512/8^3
+    cells, src/implicit/Polygonizer.h:80-81)."""
+    X, Y, Z = grid.dims
+    per_slice = max(X * Y, Y * Z, X * Z)
+    vcap = int(min(7 * X * Y * Z, 24 * per_slice))
+    tcap = 2 * vcap
+    return vcap, tcap

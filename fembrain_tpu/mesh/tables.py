@@ -32,6 +32,8 @@ CORNER_OFFSET = np.array(
 PERMS = list(permutations((0, 1, 2)))
 
 # TET_CORNERS[k][j] = cube-corner mask of tet k's j-th corner.
+# Corner order is canonicalized to positive orientation (det > 0) so every
+# extracted tet has positive signed volume (odd permutations are mirrored).
 TET_CORNERS = np.zeros((6, 4), np.int32)
 for k, perm in enumerate(PERMS):
     m = 0
@@ -39,6 +41,13 @@ for k, perm in enumerate(PERMS):
     for j, axis in enumerate(perm):
         m |= 1 << axis
         TET_CORNERS[k, j + 1] = m
+    p = CORNER_OFFSET[TET_CORNERS[k]].astype(np.float64)
+    vol6 = np.dot(p[1] - p[0], np.cross(p[2] - p[0], p[3] - p[0]))
+    if vol6 < 0:
+        TET_CORNERS[k, 1], TET_CORNERS[k, 2] = (
+            TET_CORNERS[k, 2],
+            TET_CORNERS[k, 1],
+        )
 
 # Local tet edges as (corner index i, corner index j), i < j.
 EDGE_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
@@ -50,8 +59,12 @@ TET_EDGE_DIR = np.zeros((6, 6), np.int32)
 for k in range(6):
     for e, (i, j) in enumerate(EDGE_PAIRS):
         a, b = TET_CORNERS[k, i], TET_CORNERS[k, j]
-        TET_EDGE_BASE[k, e] = a
-        TET_EDGE_DIR[k, e] = b & ~a
+        # Corners on an edge are always comparable (a ⊂ b or b ⊂ a), so the
+        # lower corner is a & b and the direction mask is a ^ b — robust to
+        # the orientation-canonicalizing corner swap above.
+        assert (a & b) in (a, b)
+        TET_EDGE_BASE[k, e] = a & b
+        TET_EDGE_DIR[k, e] = a ^ b
 
 
 def _build_case_tables():

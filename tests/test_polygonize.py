@@ -1,0 +1,150 @@
+"""Polygonizer tests: closed meshes, analytic sphere geometry, tet mesh
+consistency, differentiable vertex positions (BASELINE config #4)."""
+import dataclasses
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fembrain_tpu.blob.reader import load_blob
+from fembrain_tpu.mesh import tables as T
+from fembrain_tpu.mesh.polygonize import (
+    default_caps,
+    extract_tet_mesh,
+    grid_for_scene,
+    polygonize,
+)
+from fembrain_tpu.ops import field_ref
+
+BLOB_DIR = Path("/root/reference/data/models/blobtree")
+R_SPHERE = float(np.sqrt(1 - 0.5 ** (1 / 3)))
+
+
+def _mesh_for(name, cellsize):
+    sc = load_blob(BLOB_DIR / f"{name}.blob")
+    scene = sc.pack()
+    grid = grid_for_scene(scene, cellsize)
+    vcap, tcap = default_caps(grid)
+    return sc, scene, grid, polygonize(scene, grid, vcap, tcap)
+
+
+def _edge_share_counts(tris):
+    cnt = Counter()
+    for a, b, c in tris:
+        for e in ((a, b), (b, c), (c, a)):
+            cnt[tuple(sorted(e))] += 1
+    return set(cnt.values())
+
+
+def test_tables_consistency():
+    # 6 tets tile the cube: total volume 1, all positive orientation.
+    total = 0.0
+    for k in range(6):
+        p = T.CORNER_OFFSET[T.TET_CORNERS[k]].astype(float)
+        v = np.dot(p[1] - p[0], np.cross(p[2] - p[0], p[3] - p[0])) / 6
+        assert v > 0
+        total += v
+    assert abs(total - 1.0) < 1e-12
+    # Case table: tri counts are 0/1/2, empty cases empty.
+    assert T.TRI_COUNT[:, 0].max() == 0 and T.TRI_COUNT[:, 15].max() == 0
+    assert T.TRI_COUNT.max() == 2
+
+
+@pytest.mark.parametrize("name,cs", [("sphere", 0.08), ("tumor", 0.14),
+                                     ("CylinderWithHoles", 0.1)])
+def test_mesh_closed_and_consistent(name, cs):
+    _, scene, grid, mesh = _mesh_for(name, cs)
+    nv, nt = int(mesh.n_verts), int(mesh.n_tris)
+    assert nv > 0 and nt > 0
+    tris = np.asarray(mesh.tris)[:nt]
+    assert tris.min() >= 0 and tris.max() < nv
+    assert _edge_share_counts(tris) == {2}  # watertight
+
+
+def test_sphere_geometry():
+    sc, scene, grid, mesh = _mesh_for("sphere", 0.08)
+    nv, nt = int(mesh.n_verts), int(mesh.n_tris)
+    v = np.asarray(mesh.verts)[:nv]
+    r = np.linalg.norm(v, axis=1)
+    assert abs(r.mean() - R_SPHERE) < 2e-3 and r.std() < 3e-3
+    # Vertices lie on the oracle iso-surface.
+    # Linear root interpolation (the reference default,
+    # Polygonizer.cl:1477) leaves O(h^2) field residue at vertices.
+    f = field_ref.field_many(sc, v[:64])
+    np.testing.assert_allclose(f, 0.5, atol=2e-2)
+    # Signed volume approximates the analytic ball.
+    tris = np.asarray(mesh.tris)[:nt]
+    vol = sum(np.dot(v[a], np.cross(v[b], v[c])) / 6 for a, b, c in tris)
+    assert abs(vol - 4 / 3 * np.pi * R_SPHERE**3) < 0.02
+    # Outward normals.
+    n = np.asarray(mesh.normals)[:nv]
+    assert ((n * (v / r[:, None])).sum(1) > 0.9).all()
+
+
+def test_tet_mesh():
+    sc, scene, grid, _ = _mesh_for("sphere", 0.08)
+    tm = extract_tet_mesh(scene, grid, ncap=grid.n_vertices,
+                          tetcap=grid.n_cells * 6)
+    nn, nt = int(tm.n_nodes), int(tm.n_tets)
+    assert nn > 0 and nt % 6 == 0
+    tets = np.asarray(tm.tets)[:nt]
+    nodes = np.asarray(tm.nodes)[:nn]
+    assert tets.min() >= 0 and tets.max() < nn
+    a, b, c, d = (nodes[tets[:, i]] for i in range(4))
+    vols = np.einsum("ij,ij->i", b - a, np.cross(c - a, d - a)) / 6
+    assert (vols > 0).all()
+    # 6 tets per cell tile cells exactly.
+    np.testing.assert_allclose(vols.sum(), nt / 6 * grid.cellsize**3, rtol=1e-5)
+    # grid_to_node maps every referenced node.
+    g2n = np.asarray(tm.grid_to_node)
+    assert (np.sort(g2n[g2n >= 0]) == np.arange(nn)).all()
+
+
+def test_surface_embedding_in_tet_edges():
+    """Surface vertices' (edge_nodes, edge_t) reconstruct their position
+    from grid nodes — the FEM displacement-coupling contract."""
+    _, scene, grid, mesh = _mesh_for("tumor", 0.14)
+    nv = int(mesh.n_verts)
+    X, Y, Z = grid.dims
+    lo = np.asarray(grid.lo)
+    ids = np.asarray(mesh.edge_nodes)[:nv]
+    t = np.asarray(mesh.edge_t)[:nv]
+
+    def grid_pos(lin):
+        k = lin % Z
+        j = (lin // Z) % Y
+        i = lin // (Y * Z)
+        return lo + np.stack([i, j, k], -1) * grid.cellsize
+
+    pa, pb = grid_pos(ids[:, 0]), grid_pos(ids[:, 1])
+    rec = pa + t[:, None] * (pb - pa)
+    np.testing.assert_allclose(rec, np.asarray(mesh.verts)[:nv], atol=1e-5)
+
+
+def test_vertex_positions_differentiable():
+    """d(mean vertex radius)/d(prim position) exists and matches FD."""
+    sc = load_blob(BLOB_DIR / "sphere.blob")
+    scene = sc.pack()
+    grid = grid_for_scene(scene, 0.12)
+    vcap, tcap = default_caps(grid)
+
+    def mean_x(prim_pos):
+        s = dataclasses.replace(scene, prim_pos=prim_pos)
+        m = polygonize(s, grid, vcap, tcap)
+        w = (jnp.arange(vcap) < m.n_verts).astype(jnp.float32)
+        return jnp.sum(m.verts[:, 0] * w) / jnp.sum(w)
+
+    g = np.asarray(jax.grad(mean_x)(scene.prim_pos))[0]
+    eps = 1e-3
+    base = np.asarray(scene.prim_pos)
+    dp, dm = base.copy(), base.copy()
+    dp[0, 0] += eps
+    dm[0, 0] -= eps
+    fd = (mean_x(jnp.asarray(dp)) - mean_x(jnp.asarray(dm))) / (2 * eps)
+    # Moving the sphere +x moves mean vertex x by ~1.
+    assert abs(g[0] - fd) < 0.05
+    assert 0.8 < g[0] < 1.2
