@@ -145,6 +145,7 @@ def test_vertex_positions_differentiable():
     dp[0, 0] += eps
     dm[0, 0] -= eps
     fd = (mean_x(jnp.asarray(dp)) - mean_x(jnp.asarray(dm))) / (2 * eps)
-    # Moving the sphere +x moves mean vertex x by ~1.
-    assert abs(g[0] - fd) < 0.05
-    assert 0.8 < g[0] < 1.2
+    # Vertices slide along fixed grid edges, so the sensitivity is < 1;
+    # what matters is autodiff == finite differences.
+    assert abs(g[0] - fd) < 1e-3
+    assert g[0] > 0.1
