@@ -1,0 +1,187 @@
+"""Headless simulation application — the analog of the reference's
+`src/main.cpp` (GLUT loop + scene setup, :620-894): load a `.sim` config,
+build the BlobTree scene, polygonize to surface + embedded tet mesh, set
+up the FEM deformable, then step physics and couple displacements back to
+the render surface every frame, optionally rendering PNG frames with the
+sphere tracer.
+
+CLI (CmdLineParser parity, src/main.cpp:633-639):
+    python -m fembrain_tpu.app --file data/models/tumor.sim --frames 30
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .blob.reader import load_blob
+from .fem.deformable import Deformable, couple_surface_displacements
+from .fem.tetmesh import build_fem_mesh
+from .mesh.polygonize import (
+    default_caps,
+    extract_tet_mesh,
+    grid_for_scene,
+    polygonize,
+)
+from .render.camera import Camera
+from .render.sphere_trace import render_image
+from .utils.config import SimConfig
+from .utils.logging import the_logger
+from .utils.metrics import MetricsLogger, Record
+from .utils.profiler import the_profiler
+
+
+class SimulationApp:
+    def __init__(self, sim_path: str | Path, cellsize: float | None = None,
+                 metrics_path: str | Path | None = None):
+        log = the_logger()
+        prof = the_profiler()
+        self.cfg = SimConfig.load(sim_path)
+        blob_path = self.cfg.resolve_input(sim_path)
+        log.info(f"loading blob {blob_path}")
+
+        self.scene_def = load_blob(blob_path)
+        self.scene_def.flatten_instances()
+        self.scene = self.scene_def.pack()
+        cs = cellsize or self.cfg.cellsize
+
+        with prof.event("polygonize"):
+            self.grid = grid_for_scene(self.scene, cs)
+            vcap, tcap = default_caps(self.grid)
+            self.surface = polygonize(self.scene, self.grid, vcap, tcap)
+        with prof.event("tetrahedralize"):
+            self.tetmesh = extract_tet_mesh(
+                self.scene, self.grid,
+                ncap=self.grid.n_vertices, tetcap=self.grid.n_cells * 6,
+            )
+        n_nodes = int(self.tetmesh.n_nodes)
+        n_tets = int(self.tetmesh.n_tets)
+        log.info(
+            f"surface: {int(self.surface.n_verts)} verts "
+            f"{int(self.surface.n_tris)} tris; tetmesh: {n_nodes} nodes "
+            f"{n_tets} tets"
+        )
+
+        nodes = np.asarray(self.tetmesh.nodes)[:n_nodes]
+        tets = np.asarray(self.tetmesh.tets)[:n_tets]
+        fixed = [v for v in self.cfg.fixed_vertices if v < n_nodes]
+        self.fem = build_fem_mesh(nodes, tets, fixed=fixed)
+        self.deformable = Deformable(
+            self.fem,
+            ground_y=self.cfg.ground_level if self.cfg.gravity else None,
+            gravity=-10000.0 if self.cfg.gravity else 0.0,
+        )
+
+        self.camera = Camera.orbit(
+            self.cfg.cam_roll, 90.0 - self.cfg.cam_tilt, self.cfg.cam_zoom,
+            target=self.cfg.cam_center,
+        )
+        self.frame = 0
+        self.metrics = MetricsLogger(jsonl_path=metrics_path)
+        self._grid_to_node = self.tetmesh.grid_to_node
+
+    # ------------------------------------------------------------- stepping
+    def timestep(self, haptic: tuple[np.ndarray, np.ndarray] | None = None):
+        """One physics frame + surface coupling (reference timestep(),
+        main.cpp:463 -> Deformable::timestep -> ApplyDeformations)."""
+        prof = the_profiler()
+        f = None
+        if haptic is not None:
+            idx, force = haptic
+            f = self.deformable.haptic_forces(idx, force)
+        t0 = time.perf_counter()
+        with prof.event("fem_step"):
+            state = self.deformable.timestep(f_haptic=f)
+        with prof.event("apply_displacements"):
+            disp = couple_surface_displacements(
+                self.surface.edge_nodes,
+                self.surface.edge_t,
+                self._grid_to_node,
+                state.q,
+            )
+        self.frame += 1
+        dt = time.perf_counter() - t0
+        st = self.deformable.stats()
+        self.metrics.append(
+            Record(
+                model_name=self.scene_def.name,
+                ct_elements=self.fem.n_tets,
+                ct_vertices=self.fem.n_nodes,
+                ms_anim_total_frame=dt * 1e3,
+                cg_iters=st.get("cg_iters", 0),
+                fps=1.0 / max(dt, 1e-9),
+            )
+        )
+        return disp
+
+    def deformed_vertices(self, disp) -> jax.Array:
+        """rest surface + FEM displacement (ApplyVertexDeformations parity,
+        data/opencl/Polygonizer.cl:1417-1426)."""
+        return self.surface.verts + disp
+
+    def render_frame(self, width=400, height=300):
+        img = render_image(self.scene, self.camera, width, height)
+        return np.clip(np.asarray(img), 0, 1)
+
+    def close(self):
+        self.metrics.close()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="FemBrain-TPU headless app")
+    ap.add_argument("--file", required=True, help=".sim config path")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--cellsize", type=float, default=None)
+    ap.add_argument("--render-every", type=int, default=0,
+                    help="write a PNG every N frames (0 = never)")
+    ap.add_argument("--out", default="/tmp/fembrain_frames")
+    ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument("--xprof", default=None, help="jax.profiler trace dir")
+    args = ap.parse_args(argv)
+
+    app = SimulationApp(args.file, cellsize=args.cellsize,
+                        metrics_path=args.metrics)
+    outdir = Path(args.out)
+    if args.render_every:
+        outdir.mkdir(parents=True, exist_ok=True)
+
+    ctx = None
+    if args.xprof:
+        from .utils.profiler import xprof_trace
+
+        ctx = xprof_trace(args.xprof)
+        ctx.__enter__()
+
+    disp = None
+    for i in range(args.frames):
+        disp = app.timestep()
+        if args.render_every and i % args.render_every == 0:
+            img = app.render_frame()
+            try:
+                from PIL import Image
+
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    outdir / f"frame_{i:04d}.png"
+                )
+            except ImportError:
+                pass
+
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
+
+    q = np.asarray(app.deformable.state.q)
+    print(
+        f"done: {args.frames} frames, max|q|={np.abs(q).max():.5f}, "
+        f"stats={the_profiler().stats()}"
+    )
+    app.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

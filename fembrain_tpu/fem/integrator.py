@@ -1,0 +1,142 @@
+"""Implicit integrator + matrix-free Jacobi-preconditioned CG.
+
+Faithful port of the reference's default solver stack
+(src/deformable/PS_VolumeConservingIntegrator.cpp:46-240 with the PCG
+branch, vegafem/sparseSolver/CGSolver): per step
+
+    K_eff = M + h (alpha M + beta K_rot) + h^2 K_rot
+    residual = -h ((h + beta) K_rot qdot + alpha M qdot + f_int - f_ext)
+    solve K_eff dv = residual   (Jacobi-PCG, tol 1e-6, <= 10k iters)
+    qdot += dv;  q += h qdot;   fixed DOFs zeroed
+
+Constrained DOFs are handled by projection (identity rows) instead of the
+reference's RemoveRows/InsertRows repacking — same solution, static shapes.
+Everything is matrix-free: K_rot v is the batched per-tet product from
+fem.corotational, so no sparse matrix is ever materialized (the CG matvec
+is the perf-critical kernel, mapped to batched 12x12 matmuls + segment-sum).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import corotational as co
+from .tetmesh import FemMesh
+
+# Reference integrator defaults (Deformable.cpp:208-216,
+# PS_VolumeConservingIntegrator.cpp:17-28).
+DEFAULT_TIMESTEP = 0.0333
+DEFAULT_DAMPING_MASS = 0.0
+DEFAULT_DAMPING_STIFFNESS = 0.01
+CG_TOL = 1e-6
+CG_MAX_ITERS = 10_000
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FemState:
+    q: jax.Array      # [N, 3] displacements
+    qvel: jax.Array   # [N, 3]
+
+    @classmethod
+    def rest(cls, mesh: FemMesh) -> "FemState":
+        z = jnp.zeros_like(mesh.rest)
+        return cls(q=z, qvel=z)
+
+
+def pcg(matvec, b, diag, tol=CG_TOL, max_iters=CG_MAX_ITERS):
+    """Jacobi-preconditioned conjugate gradients as a lax.while_loop.
+
+    Stops when |r|^2 <= tol^2 |b|^2 (vegafem CGSolver convention)."""
+    inv_diag = 1.0 / jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+    x = jnp.zeros_like(b)
+    r = b
+    z = r * inv_diag
+    p = z
+    rz = jnp.vdot(r, z)
+    b2 = jnp.vdot(b, b)
+    thresh = (tol * tol) * b2
+
+    def cond(s):
+        x, r, p, rz, it = s
+        return (jnp.vdot(r, r) > thresh) & (it < max_iters)
+
+    def body(s):
+        x, r, p, rz, it = s
+        ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = r * inv_diag
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new, it + 1)
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x, it
+
+
+def timestep(
+    mesh: FemMesh,
+    state: FemState,
+    f_ext: jax.Array,
+    h: float = DEFAULT_TIMESTEP,
+    damping_mass: float = DEFAULT_DAMPING_MASS,
+    damping_stiffness: float = DEFAULT_DAMPING_STIFFNESS,
+    cg_tol: float = CG_TOL,
+    cg_max_iters: int = CG_MAX_ITERS,
+    differentiable: bool = False,
+) -> tuple[FemState, jax.Array]:
+    """One implicit step; returns (new_state, cg_iterations).
+
+    With differentiable=True the CG solve is wrapped in
+    `lax.custom_linear_solve` so reverse-mode gradients flow through the
+    solve by the implicit function theorem (one adjoint solve) instead of
+    unrolling CG iterations; the iteration count is then reported as -1.
+    """
+    free = ~mesh.fixed[:, None]  # [N,1] broadcast over xyz
+
+    _, R = co.element_kinematics(mesh, state.q)
+    f_int = co.internal_forces(mesh, state.q, R)
+    m = mesh.mass[:, None]
+
+    kq = co.stiffness_apply(mesh, R, state.qvel)
+    residual = -h * (
+        (h + damping_stiffness) * kq
+        + damping_mass * m * state.qvel
+        + f_int
+        - f_ext
+    )
+    residual = jnp.where(free, residual, 0.0)
+
+    mass_coef = 1.0 + h * damping_mass
+    stiff_coef = h * damping_stiffness + h * h
+
+    def matvec(v):
+        vf = jnp.where(free, v, 0.0)
+        out = mass_coef * m * vf + stiff_coef * co.stiffness_apply(mesh, R, vf)
+        return jnp.where(free, out, v)
+
+    diag = mass_coef * jnp.broadcast_to(m, residual.shape) + (
+        stiff_coef * co.stiffness_diag(mesh, R)
+    )
+    diag = jnp.where(free, diag, 1.0)
+
+    if differentiable:
+        dv = jax.lax.custom_linear_solve(
+            matvec,
+            residual,
+            solve=lambda mv, b: pcg(mv, b, diag, cg_tol, cg_max_iters)[0],
+            symmetric=True,
+        )
+        iters = jnp.asarray(-1, jnp.int32)
+    else:
+        dv, iters = pcg(matvec, residual, diag, cg_tol, cg_max_iters)
+
+    qvel = jnp.where(free, state.qvel + dv, 0.0)
+    q = jnp.where(free, state.q + h * qvel, 0.0)
+    return FemState(q=q, qvel=qvel), iters
