@@ -1,0 +1,181 @@
+"""Cutting tests: VolMesh topology DB, cut_edge, case A/B subdivision,
+scalpel sweep cuts, disjoint part separation (reference test strategy:
+TestVolMesh invariants run after every cut, CuttableMesh.cpp:478-481)."""
+import numpy as np
+import pytest
+
+from fembrain_tpu.fem.avatars import AvatarProbe, AvatarScalpel
+from fembrain_tpu.fem.cutting import (
+    CutError,
+    CuttableMesh,
+    segment_quad_intersect,
+    subdivide_cell,
+)
+from fembrain_tpu.mesh import samples
+from fembrain_tpu.mesh.volmesh import CELL_EDGES, VolMesh
+
+
+def test_volmesh_construction_and_invariants():
+    nodes, tets = samples.truth_cube(3, 3, 3, 0.5)
+    vm = VolMesh(nodes, tets)
+    assert vm.count_nodes() == 27
+    assert vm.count_cells() == 8 * 6
+    assert vm.check_invariants() == []
+    info = vm.report_info()
+    np.testing.assert_allclose(info["volume"], (2 * 0.5) ** 3, rtol=1e-9)
+
+
+def test_volmesh_cell_edges_canonical():
+    nodes, tets = samples.one_tetra()
+    vm = VolMesh(nodes, tets)
+    cell = vm.cells[0]
+    for slot, (a, b) in enumerate(CELL_EDGES):
+        e = vm.edges[cell.edges[slot]]
+        assert {e.from_, e.to} == {cell.nodes[a], cell.nodes[b]}
+
+
+def test_cut_edge_splits():
+    nodes, tets = samples.one_tetra()
+    vm = VolMesh(nodes, tets)
+    e0 = vm.cells[0].edges[0]
+    n_before = vm.count_nodes()
+    edge = vm.edges[e0]
+    to_before = edge.to
+    length = np.linalg.norm(vm.nodes[edge.to].pos - vm.nodes[edge.from_].pos)
+    np0, np1 = vm.cut_edge(e0, 0.5 * length)
+    assert vm.count_nodes() == n_before + 2
+    np.testing.assert_allclose(vm.nodes[np0].pos, vm.nodes[np1].pos)
+    # Old edge rewired to np0, new edge from np1.
+    assert vm.edges[e0].to == np0
+    assert vm.edge_exists(np1, to_before)
+
+
+def _cut_single_tet(slots):
+    nodes, tets = samples.one_tetra()
+    vm = VolMesh(nodes, tets)
+    cell = vm.cells[0]
+    cut_edges = {}
+    for slot in slots:
+        e = cell.edges[slot]
+        edge = vm.edges[e]
+        length = np.linalg.norm(
+            vm.nodes[edge.to].pos - vm.nodes[edge.from_].pos
+        )
+        cut_edges[slot] = vm.cut_edge(e, 0.4 * length)
+    new = subdivide_cell(vm, 0, cut_edges)
+    vm.garbage_collection()
+    assert vm.check_invariants() == []
+    return vm, new
+
+
+@pytest.mark.parametrize("corner,slots", [
+    (0, (3, 4, 5)), (1, (0, 2, 5)), (2, (0, 1, 3)), (3, (1, 2, 4)),
+])
+def test_case_a_all_corners(corner, slots):
+    """Case A: 3 edges around one corner -> 4 sub-tets (reference
+    cutEdgeCodes 56/37/11/22, TetSubdivider.cpp:21-33)."""
+    vm, new = _cut_single_tet(slots)
+    assert len(new) == 4
+    assert vm.count_cells() == 4
+    # Volume preserved.
+    total = sum(abs(vm.cell_volume(i)) for i in new)
+    nodes, tets = samples.one_tetra()
+    p = nodes[tets[0]]
+    vol0 = abs(np.dot(p[1] - p[0], np.cross(p[2] - p[0], p[3] - p[0])) / 6)
+    np.testing.assert_allclose(total, vol0, rtol=1e-9)
+    # Two disjoint parts (corner piece + frustum).
+    assert len(vm.disjoint_parts()) == 2
+
+
+@pytest.mark.parametrize("slots", [(1, 2, 3, 5), (0, 2, 3, 4), (0, 1, 4, 5)])
+def test_case_b_slicing(slots):
+    """Case B: 4 cut edges, 2+2 corner split -> 6 sub-tets."""
+    # Validate the slot set forms two 2-corner components first.
+    vm, new = _cut_single_tet(slots)
+    assert len(new) == 6
+    total = sum(abs(vm.cell_volume(i)) for i in new)
+    nodes, tets = samples.one_tetra()
+    p = nodes[tets[0]]
+    vol0 = abs(np.dot(p[1] - p[0], np.cross(p[2] - p[0], p[3] - p[0])) / 6)
+    np.testing.assert_allclose(total, vol0, rtol=1e-9)
+    assert len(vm.disjoint_parts()) == 2
+
+
+def test_unsupported_cut_refused():
+    """Partial cuts (1 edge) must refuse without mutating (reference
+    fail-safe, CuttableMesh.cpp:381-387)."""
+    nodes, tets = samples.one_tetra()
+    vm = VolMesh(nodes, tets)
+    cell = vm.cells[0]
+    e = cell.edges[0]
+    edge = vm.edges[e]
+    length = np.linalg.norm(vm.nodes[edge.to].pos - vm.nodes[edge.from_].pos)
+    cut = {0: vm.cut_edge(e, 0.5 * length)}
+    with pytest.raises(CutError):
+        subdivide_cell(vm, 0, cut)
+
+
+def test_segment_quad_intersection():
+    quad = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], float)
+    t = segment_quad_intersect(
+        np.array([0.0, -1, 0]), np.array([0.0, 1, 0]), quad
+    )
+    assert t is not None and abs(t - 0.5) < 1e-9
+    assert segment_quad_intersect(
+        np.array([5.0, -1, 0]), np.array([5.0, 1, 0]), quad
+    ) is None
+
+
+def test_scalpel_cuts_single_tet_apart():
+    """Full pipeline: scalpel sweep -> CuttableMesh.cut -> two parts."""
+    nodes, tets = samples.one_tetra()
+    cm = CuttableMesh(nodes, tets)
+    scalpel = AvatarScalpel(
+        blade_a=np.array([0.0, 3.0, 1.0]),
+        blade_b=np.array([0.0, 3.0, -3.0]),
+    )
+    scalpel.grip()
+    # Sweep a vertical blade across the tet (apex at (0,2,-1)).
+    for x in np.linspace(-2.0, 2.0, 9):
+        scalpel.move_to([x, -1.5, 0.0])
+    res = scalpel.release(cm)
+    assert res.n_cut_cells == 1
+    assert res.n_new_cells in (4, 6)
+    parts = cm.mesh.disjoint_parts()
+    assert len(parts) == 2
+    # Parts are valid meshes.
+    for part in parts:
+        sub = cm.mesh.extract_part(part)
+        assert sub.check_invariants() == []
+
+
+def test_scalpel_cut_truthcube():
+    """Cut a 2-layer truth cube; mesh stays valid, volume preserved."""
+    nodes, tets = samples.truth_cube(3, 2, 2, 1.0)
+    cm = CuttableMesh(nodes, tets)
+    vol0 = cm.mesh.total_volume()
+    scalpel = AvatarScalpel(
+        blade_a=np.array([0.0, 5.0, 5.0]),
+        blade_b=np.array([0.0, 5.0, -5.0]),
+    )
+    scalpel.grip()
+    for y in np.linspace(6.0, -6.0, 25):
+        scalpel.move_to([0.083, y - 5.0, 0.0])
+    try:
+        res = scalpel.release(cm)
+    except CutError:
+        pytest.skip("cut plane hits an unsupported configuration")
+    assert res.n_cut_cells > 0
+    np.testing.assert_allclose(cm.mesh.total_volume(), vol0, rtol=1e-6)
+    assert cm.mesh.check_invariants() == []
+
+
+def test_probe_contact_forces():
+    nodes, tets = samples.truth_cube(3, 3, 3, 0.5)
+    probe = AvatarProbe(half_extents=np.array([0.3, 0.3, 0.3]),
+                        force_coeff=1000.0)
+    probe.pos = np.array([0.0, 2.0, 0.0])
+    idx, forces = probe.move_to([0.0, 1.05, 0.0], nodes)
+    assert idx.size > 0
+    # Force along the move direction (downward).
+    assert (forces[:, 1] < 0).all()
