@@ -201,6 +201,7 @@ class _Reader:
         rot = s.read_vec4(sec, "AffineRotate", [0, 0, 0, 1])
         trans = s.read_vec3(sec, "AffineTranslate", [0, 0, 0])
         prim.fwd, prim.bwd = compose_trs(trans, rot, scale)
+        prim.affine = (tuple(scale), tuple(rot), tuple(trans))
         return self.scene.add_prim(prim)
 
     # ---------------------------------------------------------------- instances

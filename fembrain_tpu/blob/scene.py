@@ -70,6 +70,8 @@ class PrimDef:
     # For INSTANCE prims only: resolved SOA index + kind of the origin node.
     instance_origin: int = -1
     instance_origin_is_op: bool = False
+    # Original (scale, rotate-quat, translate) for .blob round-tripping.
+    affine: tuple | None = None
 
 
 @dataclass

@@ -1,0 +1,122 @@
+"""Sketch machine, blob writer round-trip, kd-tree picking, RBF fit."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fembrain_tpu.blob.kdtree import KDTree
+from fembrain_tpu.blob.reader import load_blob
+from fembrain_tpu.blob.sketch import (
+    SketchAddOp,
+    SketchAddPrim,
+    SketchMachine,
+    SketchTranslate,
+)
+from fembrain_tpu.blob.types import OpType, PrimType
+from fembrain_tpu.blob.writer import save_blob
+from fembrain_tpu.ops import field as jfield
+from fembrain_tpu.ops import field_ref
+from fembrain_tpu.ops.rbf import FastRBF, off_surface_samples
+
+BLOB_DIR = Path("/root/reference/data/models/blobtree")
+
+
+def test_blob_writer_roundtrip(tmp_path):
+    for name in ("tumor", "spheredif", "range", "CylinderWithHoles"):
+        sc = load_blob(BLOB_DIR / f"{name}.blob")
+        out = tmp_path / f"{name}.blob"
+        save_blob(sc, out)
+        sc2 = load_blob(out)
+        # Fields agree everywhere.
+        scene = sc.pack()
+        lo = np.asarray(scene.bbox_lo) - 0.2
+        hi = np.asarray(scene.bbox_hi) + 0.2
+        pts = np.random.default_rng(0).uniform(lo, hi, (32, 3))
+        f1 = field_ref.field_many(sc, pts)
+        f2 = field_ref.field_many(sc2, pts)
+        np.testing.assert_allclose(f1, f2, atol=1e-9, err_msg=name)
+
+
+def test_sketch_undo_redo():
+    sm = SketchMachine()
+    sm.add_action(SketchAddPrim(PrimType.POINT, pos=(-0.4, 0, 0)))
+    sm.add_action(SketchAddPrim(PrimType.POINT, pos=(0.4, 0, 0)))
+    sm.add_action(SketchAddOp(OpType.BLEND, left=0, right=1))
+    scene = sm.sync()
+    assert scene.n_prims == 2 and scene.n_ops == 1
+    f_blend = float(jfield.field(scene, np.zeros((1, 3), np.float32))[0])
+
+    # Undo the op: single-prim root semantics.
+    assert sm.backward()
+    assert sm.sync().n_ops == 0
+    # Undo a prim.
+    assert sm.backward()
+    assert sm.sync().n_prims == 1
+    # Redo both.
+    assert sm.forward() and sm.forward()
+    scene = sm.sync()
+    f2 = float(jfield.field(scene, np.zeros((1, 3), np.float32))[0])
+    assert abs(f2 - f_blend) < 1e-7
+    # Translate with undo.
+    sm.add_action(SketchTranslate(0, delta=(0.1, 0, 0)))
+    f3 = float(jfield.field(sm.sync(), np.zeros((1, 3), np.float32))[0])
+    assert f3 != f2
+    sm.backward()
+    f4 = float(jfield.field(sm.sync(), np.zeros((1, 3), np.float32))[0])
+    assert abs(f4 - f2) < 1e-7
+
+
+def test_sketch_action_script(tmp_path):
+    sm = SketchMachine()
+    sm.add_action(SketchAddPrim(PrimType.POINT))
+    sm.add_action(SketchTranslate(0, delta=(1, 0, 0)))
+    p = tmp_path / "actions.ini"
+    sm.save_actions(p)
+    text = p.read_text()
+    assert "ADDPRIM" in text and "TRANSLATE" in text
+
+
+def test_kdtree_pick():
+    boxes = [
+        (np.array([i - 0.3, -0.3, -0.3]), np.array([i + 0.3, 0.3, 0.3]))
+        for i in range(8)
+    ]
+    tree = KDTree(boxes)
+    # Ray down the x axis hits box 0 first.
+    assert tree.pick([-5, 0, 0], [1, 0, 0]) == 0
+    # Ray from above box 5.
+    assert tree.pick([5, 5, 0], [0, -1, 0]) == 5
+    # Miss.
+    assert tree.pick([0, 5, 5], [1, 0, 0]) == -1
+
+
+def test_sketch_select_pick():
+    sc = load_blob(BLOB_DIR / "tumor.blob")
+    sm = SketchMachine(sc)
+    # Aim at prim 0's center from far +x.
+    c = sc.prims[0].fwd[:3, 3]
+    idx = sm.select(c + np.array([5.0, 0, 0]), np.array([-1.0, 0, 0]))
+    assert idx >= 0
+
+
+def test_rbf_fit_sphere():
+    """Fit the RBF to samples of a unit sphere surface; check the zero set
+    matches and penetration queries work (reference FastRBF role)."""
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(300, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts, vals = off_surface_samples(d, d, offset=0.15)
+    rbf = FastRBF()
+    err = rbf.fit_greedy(pts, vals, start_count=128, fitting_accuracy=5e-3)
+    assert err < 5e-2
+    # Zero level near r=1.
+    test_dirs = rng.normal(size=(16, 3))
+    test_dirs /= np.linalg.norm(test_dirs, axis=1, keepdims=True)
+    f_on = rbf.evaluate(test_dirs)
+    assert np.abs(f_on).max() < 5e-2
+    inside, pen = rbf.intersects(0.5 * test_dirs[0])
+    outside, _ = rbf.intersects(1.5 * test_dirs[0])
+    assert bool(inside[0]) and not bool(outside[0])
+    # Field is positive inside, so the gradient points inward.
+    g = np.asarray(rbf.gradient(test_dirs))
+    assert (np.sum(g * test_dirs, -1) < 0).all()
