@@ -97,7 +97,18 @@ class Deformable:
         self.mesh = mesh
         self.h = h
         self.state = FemState.rest(mesh)
-        self.adjacency = node_adjacency(np.asarray(mesh.tets), mesh.n_nodes)
+        # Native adjacency core when available (native/femcore.cpp), the
+        # pure-Python BFS otherwise.
+        self._native_adj = None
+        try:
+            from ..native import NativeAdjacency
+
+            self._native_adj = NativeAdjacency(
+                np.asarray(mesh.tets), mesh.n_nodes
+            )
+            self.adjacency = None
+        except Exception:
+            self.adjacency = node_adjacency(np.asarray(mesh.tets), mesh.n_nodes)
         self._stats = None
 
         self._step = jax.jit(
@@ -122,6 +133,8 @@ class Deformable:
         return self.state
 
     def haptic_forces(self, contact_idx, contact_force, radius=DEFAULT_HAPTIC_RADIUS):
+        if self._native_adj is not None:
+            return self._native_adj.ring_forces(contact_idx, contact_force, radius)
         return haptic_ring_forces(
             self.adjacency, self.mesh.n_nodes, contact_idx, contact_force, radius
         )
