@@ -414,6 +414,18 @@ class SceneDef:
             prim_types_present=tuple(
                 sorted({int(p.ptype) for p in self.prims})
             ),
+            monotone_field=all(
+                o.otype in (OpType.UNION, OpType.BLEND, OpType.RICCI_BLEND,
+                            OpType.GRADIENT_BLEND,
+                            OpType.FAST_QUADRIC_POINT_SET, OpType.CACHE)
+                for o in self.ops
+            ),
+            max_world_to_local_scale=float(
+                max(
+                    (np.linalg.norm(p.bwd[:3, :3], 2) for p in self.prims),
+                    default=1.0,
+                )
+            ),
         )
 
 
@@ -565,6 +577,17 @@ class Scene:
     fold_plan: tuple = dataclasses.field(metadata=dict(static=True), default=())
     fold_registers: int = dataclasses.field(metadata=dict(static=True), default=1)
     root_reg: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # True when the total field is >= every primitive's field (unions /
+    # blends only, no warps): the Wyvill support radius then gives a safe
+    # sphere-tracing step bound. DIF/INTERSECT scenes march fixed steps.
+    monotone_field: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
+    # Conservative world->local stretch: max spectral norm over prim
+    # inverse matrices; safe world step = local bound / this.
+    max_world_to_local_scale: float = dataclasses.field(
+        metadata=dict(static=True), default=1.0
+    )
 
     @property
     def capacity_prims(self) -> int:

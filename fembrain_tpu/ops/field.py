@@ -38,68 +38,80 @@ def _safe_div(num, den, eps=1e-12):
     return num / jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
 
 
+# All distance functions work on COMPONENT (SoA) arrays: vt is a 3-tuple
+# of [N, G] coordinates, prim params are 3-tuples / scalars of [1, G].
+# Everything stays 2-D, which (a) uses full 8x128 VPU lanes instead of a
+# size-3 trailing axis and (b) lowers inside Pallas kernels (Mosaic has no
+# 3-D vectors).
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
 def _dist2_point(vt, pos, dirv, res):
-    d = pos - vt
-    return jnp.sum(d * d, -1)
+    d = _sub3(pos, vt)
+    return _dot3(d, d)
 
 
 def _dist2_line(vt, pos, dirv, res):
     # pos = segment start, dirv = segment end (Polygonizer.cl:549-557).
-    delta = dirv - pos
-    dd = jnp.sum(delta * delta, -1)
-    t = _safe_div(jnp.sum((vt - pos) * delta, -1), dd)
-    proj = pos + t[..., None] * delta
-    d = vt - proj
-    return jnp.sum(d * d, -1)
+    delta = _sub3(dirv, pos)
+    dd = _dot3(delta, delta)
+    t = _safe_div(_dot3(_sub3(vt, pos), delta), dd)
+    proj = tuple(pos[i] + t * delta[i] for i in range(3))
+    d = _sub3(vt, proj)
+    return _dot3(d, d)
 
 
 def _dist2_cylinder(vt, pos, dirv, res):
     # res = (radius, height, ...) (Polygonizer.cl:559-571).
-    p = vt - pos
-    y = jnp.sum(p * dirv, -1)
-    pp = jnp.sum(p * p, -1)
-    x = jnp.maximum(0.0, jnp.sqrt(jnp.maximum(pp - y * y, 0.0)) - res[..., 0])
-    y = jnp.where(y > 0.0, jnp.maximum(0.0, y - res[..., 1]), y)
+    p = _sub3(vt, pos)
+    y = _dot3(p, dirv)
+    pp = _dot3(p, p)
+    x = jnp.maximum(0.0, jnp.sqrt(jnp.maximum(pp - y * y, 0.0)) - res[0])
+    y = jnp.where(y > 0.0, jnp.maximum(0.0, y - res[1]), y)
     return x * x + y * y
 
 
 def _dist2_cube(vt, pos, dirv, res):
     # res = (side, ...) — axis-aligned in local space (Polygonizer.cl:587-637).
-    dif = vt - pos
-    side = res[..., 0:1]
-    d = jnp.maximum(jnp.abs(dif) - side, 0.0)
-    return jnp.sum(d * d, -1)
+    side = res[0]
+    out = 0.0
+    for i in range(3):
+        d = jnp.maximum(jnp.abs(vt[i] - pos[i]) - side, 0.0)
+        out = out + d * d
+    return out
+
+
+def _disc_ring_common(vt, pos, dirv, r):
+    delta = _sub3(vt, pos)
+    dn = _dot3(delta, dirv)
+    in_plane = tuple(delta[i] - dn * dirv[i] for i in range(3))
+    len2 = _dot3(in_plane, in_plane)
+    dd = _dot3(delta, delta)
+    inv_len = jax.lax.rsqrt(jnp.where(len2 < 1e-24, 1.0, len2))
+    edge = tuple(r * in_plane[i] * inv_len - delta[i] for i in range(3))
+    edge2 = _dot3(edge, edge)
+    return len2, dd, edge2
 
 
 def _dist2_disc(vt, pos, dirv, res):
     # dirv = unit normal, res = (radius, ...) (Polygonizer.cl:639-654).
-    delta = vt - pos
-    dn = jnp.sum(delta * dirv, -1)
-    in_plane = delta - dn[..., None] * dirv
-    len2 = jnp.sum(in_plane * in_plane, -1)
-    r = res[..., 0]
-    dd = jnp.sum(delta * delta, -1)
-    inside = len2 <= r * r
-    # Outside the rim: distance to the circle edge.
-    inv_len = jax.lax.rsqrt(jnp.where(len2 < 1e-24, 1.0, len2))
-    edge = r[..., None] * in_plane * inv_len[..., None] - delta
-    edge2 = jnp.sum(edge * edge, -1)
-    return jnp.where(inside, jnp.abs(dd - len2), edge2)
+    r = res[0]
+    len2, dd, edge2 = _disc_ring_common(vt, pos, dirv, r)
+    return jnp.where(len2 <= r * r, jnp.abs(dd - len2), edge2)
 
 
 def _dist2_ring(vt, pos, dirv, res):
     # dirv = unit normal, res = (radius, ...) (Polygonizer.cl:656-671).
-    delta = vt - pos
-    dn = jnp.sum(delta * dirv, -1)
-    in_plane = delta - dn[..., None] * dirv
-    len2 = jnp.sum(in_plane * in_plane, -1)
-    r = res[..., 0]
-    dd = jnp.sum(delta * delta, -1)
-    degenerate = len2 < 1e-24
-    inv_len = jax.lax.rsqrt(jnp.where(degenerate, 1.0, len2))
-    edge = r[..., None] * in_plane * inv_len[..., None] - delta
-    edge2 = jnp.sum(edge * edge, -1)
-    return jnp.where(degenerate, r * r + dd, edge2)
+    r = res[0]
+    len2, dd, edge2 = _disc_ring_common(vt, pos, dirv, r)
+    return jnp.where(len2 < 1e-24, r * r + dd, edge2)
 
 
 def _dist2_triangle(vt, pos, dirv, res):
@@ -107,20 +119,17 @@ def _dist2_triangle(vt, pos, dirv, res):
 
     The reference's triangle branch is disabled and returns far-field
     (Polygonizer.cl:573-585); we implement the real distance via the
-    region-free clamped-projection formulation.
+    region-free clamped-projection formulation (Ericson RTCD 5.1.5).
     """
-    a, b, c = pos, dirv, res[..., :3]
-    ab = b - a
-    ac = c - a
-    ap = vt - a
-    d1 = jnp.sum(ab * ap, -1)
-    d2 = jnp.sum(ac * ap, -1)
-    bp = vt - b
-    d3 = jnp.sum(ab * bp, -1)
-    d4 = jnp.sum(ac * bp, -1)
-    cp = vt - c
-    d5 = jnp.sum(ab * cp, -1)
-    d6 = jnp.sum(ac * cp, -1)
+    a, b, c = pos, dirv, (res[0], res[1], res[2])
+    ab = _sub3(b, a)
+    ac = _sub3(c, a)
+    d1 = _dot3(ab, _sub3(vt, a))
+    d2 = _dot3(ac, _sub3(vt, a))
+    d3 = _dot3(ab, _sub3(vt, b))
+    d4 = _dot3(ac, _sub3(vt, b))
+    d5 = _dot3(ab, _sub3(vt, c))
+    d6 = _dot3(ac, _sub3(vt, c))
 
     va = d3 * d6 - d5 * d4
     vb = d5 * d2 - d1 * d6
@@ -128,15 +137,15 @@ def _dist2_triangle(vt, pos, dirv, res):
     denom = va + vb + vc
     v = _safe_div(vb, denom)
     w = _safe_div(vc, denom)
-    p_face = a + v[..., None] * ab + w[..., None] * ac
+    p_face = tuple(a[i] + v * ab[i] + w * ac[i] for i in range(3))
 
     def seg_closest(p0, e, num, den):
         t = jnp.clip(_safe_div(num, den), 0.0, 1.0)
-        return p0 + t[..., None] * e
+        return tuple(p0[i] + t * e[i] for i in range(3))
 
     p_ab = seg_closest(a, ab, d1, d1 - d3)
     p_ac = seg_closest(a, ac, d2, d2 - d6)
-    bc = c - b
+    bc = _sub3(c, b)
     p_bc = seg_closest(b, bc, d4 - d3, (d4 - d3) + (d5 - d6))
 
     in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
@@ -146,15 +155,18 @@ def _dist2_triangle(vt, pos, dirv, res):
     at_b = (d3 >= 0) & (d4 <= d3)
     at_c = (d6 >= 0) & (d5 <= d6)
 
-    closest = p_face
-    closest = jnp.where(in_bc[..., None], p_bc, closest)
-    closest = jnp.where(in_ac[..., None], p_ac, closest)
-    closest = jnp.where(in_ab[..., None], p_ab, closest)
-    closest = jnp.where(at_c[..., None], c, closest)
-    closest = jnp.where(at_b[..., None], b, closest)
-    closest = jnp.where(at_a[..., None], a, closest)
-    d = vt - closest
-    return jnp.sum(d * d, -1)
+    closest = []
+    for i in range(3):
+        ci = p_face[i]
+        ci = jnp.where(in_bc, p_bc[i], ci)
+        ci = jnp.where(in_ac, p_ac[i], ci)
+        ci = jnp.where(in_ab, p_ab[i], ci)
+        ci = jnp.where(at_c, c[i], ci)
+        ci = jnp.where(at_b, b[i], ci)
+        ci = jnp.where(at_a, a[i], ci)
+        closest.append(ci)
+    d = _sub3(vt, tuple(closest))
+    return _dot3(d, d)
 
 
 _DIST2_FNS = {
@@ -219,42 +231,51 @@ def prim_fields(scene: Scene, points: jax.Array) -> jax.Array:
 
 def _group_fields(pts, mtx, ptype, pos, dirv, res, present):
     """[N,3] points x [G] prims -> [N,G] fields; `present` is the static
-    set of primitive types in the scene (only those branches are emitted)."""
-    G = mtx.shape[0]
+    set of primitive types in the scene (only those branches are emitted).
+
+    Component (SoA) formulation: the local transform is three [N,4]x[4,G]
+    matmuls (MXU), and all skeleton distances operate on [N,G] coordinate
+    planes (full VPU lanes, and lowerable inside Pallas kernels — Mosaic
+    has no 3-D vectors).
+    """
     ph = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], -1)  # [N,4]
-    # vt[n,g,i] = mtx[g,i,:] . ph[n,:]  — batched as one matmul (MXU).
     # HIGHEST precision: on TPU the default matmul path rounds inputs to
     # bf16, which costs ~1e-3 absolute field error; the transform is a tiny
     # fraction of total FLOPs so full f32 here is free.
-    vt = jnp.einsum(
-        "gij,nj->ngi",
-        mtx,
-        ph,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    vt = tuple(
+        jnp.dot(
+            ph,
+            mtx[:, i, :].T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for i in range(3)
+    )  # 3 x [N, G]
 
-    pos_b, dir_b, res_b = pos[None], dirv[None], res[None]
-    dist2 = jnp.full((pts.shape[0], G), _BIG, pts.dtype)
+    pos_c = tuple(pos[:, i][None, :] for i in range(3))
+    dir_c = tuple(dirv[:, i][None, :] for i in range(3))
+    res_c = tuple(res[:, i][None, :] for i in range(4))
+    type_row = ptype[None, :]
+
+    dist2 = jnp.full(vt[0].shape, _BIG, pts.dtype)
     present = set(int(t) for t in present)
     for t, fn in _DIST2_FNS.items():
         if t not in present:
             continue
-        d2 = fn(vt, pos_b, dir_b, res_b)
-        dist2 = jnp.where(ptype[None, :] == t, d2, dist2)
+        d2 = fn(vt, pos_c, dir_c, res_c)
+        dist2 = jnp.where(type_row == t, d2, dist2)
 
     f = wyvill(dist2)
 
     if int(PrimType.QUADRIC_POINT) in present:
         # Quadric point: polynomial inside support radius, else Wyvill of
         # dist^2 (Polygonizer.cl:673-686).
-        d = vt - pos_b
-        dd = jnp.sum(d * d, -1)
-        rs = dir_b[..., 2]
-        cf = res_b
-        quad = dd * dd * cf[..., 0] + dd * cf[..., 1] + cf[..., 2]
+        d = _sub3(vt, pos_c)
+        dd = _dot3(d, d)
+        rs = dir_c[2]
+        quad = dd * dd * res_c[0] + dd * res_c[1] + res_c[2]
         fq = jnp.where(rs > dd, quad, wyvill(dd))
-        f = jnp.where(ptype[None, :] == int(PrimType.QUADRIC_POINT), fq, f)
+        f = jnp.where(type_row == int(PrimType.QUADRIC_POINT), fq, f)
     return f
 
 
@@ -302,6 +323,106 @@ def _op_range(otype: int, fields, params):
 # register-allocated lax.scan (bounded compile time for instancing-heavy
 # scenes like the piza stress models).
 UNROLL_LIMIT = 96
+
+
+def supports_rows_fast_path(scene: Scene) -> bool:
+    """Whether `field_rows` (the Pallas in-kernel evaluator) covers this
+    scene: no warp chains and a fold small enough to unroll."""
+    plain_warps = len(scene.warp_groups) == 1 and not scene.warp_groups[0][0]
+    return plain_warps and len(scene.schedule) <= UNROLL_LIMIT
+
+
+def field_rows(scene: Scene, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Transposed-layout field evaluation for Pallas kernels.
+
+    x, y, z: [1, T] point components. Everything stays strictly 2-D with
+    primitives on the sublane axis and points on lanes ([P, T] field
+    matrix), because Mosaic has no 3-D vectors and cannot reshape across
+    lanes. Scenes with warps fall back to the XLA path
+    (see supports_rows_fast_path).
+    """
+    assert supports_rows_fast_path(scene)
+    ph = jnp.concatenate([x, y, z, jnp.ones_like(x)], 0)  # [4, T]
+    vt = tuple(
+        jnp.dot(
+            scene.prim_mtx[:, i, :],
+            ph,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for i in range(3)
+    )  # 3 x [P, T]
+    # Keepdims slicing only — inside Mosaic, reshapes/unsqueezes are
+    # unavailable, so all extractions stay 2-D.
+    pos_c = tuple(scene.prim_pos[:, i : i + 1] for i in range(3))
+    dir_c = tuple(scene.prim_dir[:, i : i + 1] for i in range(3))
+    res_c = tuple(scene.prim_res[:, i : i + 1] for i in range(4))
+    tp = scene.prim_type
+    type_col = tp if tp.ndim == 2 else tp[:, None]
+
+    dist2 = jnp.full(vt[0].shape, _BIG, ph.dtype)
+    present = set(int(t) for t in scene.prim_types_present)
+    for t, fn in _DIST2_FNS.items():
+        if t not in present:
+            continue
+        dist2 = jnp.where(type_col == t, fn(vt, pos_c, dir_c, res_c), dist2)
+    pf = wyvill(dist2)
+    if int(PrimType.QUADRIC_POINT) in present:
+        d = _sub3(vt, pos_c)
+        dd = _dot3(d, d)
+        quad = dd * dd * res_c[0] + dd * res_c[1] + res_c[2]
+        fq = jnp.where(dir_c[2] > dd, quad, wyvill(dd))
+        pf = jnp.where(type_col == int(PrimType.QUADRIC_POINT), fq, pf)
+
+    if not scene.root_is_op:
+        n = scene.n_prims
+        return jnp.sum(pf[:n], 0, keepdims=True)  # [1, T]
+
+    op_vals: dict[int, jax.Array] = {}
+    for k in scene.schedule:
+        w = scene.wiring[k]
+        p0 = scene.op_params[k : k + 1, 0:1]  # [1,1] — broadcasts on [1,T]
+        p1 = scene.op_params[k : k + 1, 1:2]
+        if w.is_range:
+            rows = pf[w.left : w.right + 1]
+            if w.otype == int(OpType.UNION):
+                val = jnp.max(rows, 0, keepdims=True)
+            elif w.otype == int(OpType.INTERSECT):
+                val = jnp.min(rows, 0, keepdims=True)
+            elif w.otype == int(OpType.RICCI_BLEND):
+                val = jnp.power(
+                    jnp.sum(jnp.power(rows, p0), 0, keepdims=True), p1
+                )
+            else:
+                val = jnp.sum(rows, 0, keepdims=True)
+        else:
+            lf = op_vals[w.left] if w.left_is_op else pf[w.left : w.left + 1]
+            if w.is_unary:
+                rf = jnp.zeros_like(lf)
+            else:
+                rf = (
+                    op_vals[w.right]
+                    if w.right_is_op
+                    else pf[w.right : w.right + 1]
+                )
+            ot = w.otype
+            if ot == int(OpType.UNION):
+                val = jnp.maximum(lf, rf)
+            elif ot == int(OpType.INTERSECT):
+                val = jnp.minimum(lf, rf)
+            elif ot == int(OpType.RICCI_BLEND):
+                val = jnp.power(jnp.power(lf, p0) + jnp.power(rf, p0), p1)
+            elif ot == int(OpType.DIF):
+                val = jnp.minimum(lf, 1.0 - rf)
+            elif ot == int(OpType.SMOOTH_DIF):
+                val = lf * (1.0 - rf)
+            elif ot in (int(OpType.BLEND), int(OpType.GRADIENT_BLEND),
+                        int(OpType.FAST_QUADRIC_POINT_SET)):
+                val = lf + rf
+            else:  # warps/cache pass through
+                val = lf
+        op_vals[k] = val
+    return op_vals[scene.root_idx]  # [1, T]
 
 
 def field(scene: Scene, points: jax.Array) -> jax.Array:

@@ -1,0 +1,234 @@
+"""Pallas TPU sphere-tracing kernel.
+
+The XLA `lax.while_loop` tracer (render.sphere_trace) round-trips the full
+ray state through HBM every march iteration and can only early-exit when
+ALL rays finish. This kernel tiles rays into VMEM-resident lane blocks:
+each tile marches entirely on-chip with its own early exit — finished
+(coherent) tiles stop evaluating the field — and the BlobTree scene arrays
+live in VMEM for the whole tile.
+
+Layout: everything inside the kernel is strictly 2-D (Mosaic has no 3-D
+vectors and cannot reshape across lanes): per-ray state is [1, TILE] on
+lanes, and the field evaluation uses the transposed row form
+(ops.field.field_rows) with primitives on sublanes — the local transform
+is one [P,4]x[4,TILE] matmul on the MXU.
+
+The kernel is forward-only; implicit differentiation of the hit parameter
+happens outside (one field + gradient eval at the root), so gradients are
+exactly those of the XLA path. Scenes with warp chains or very large op
+counts fall back to the XLA path (ops.field.supports_rows_fast_path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..blob.scene import Scene
+from ..ops.field import field, field_rows, supports_rows_fast_path
+from .sphere_trace import TraceParams, trace as trace_xla
+
+TILE = 2048  # rays per kernel instance (lanes)
+
+_SCENE_FIELDS = (
+    "prim_type", "prim_mtx", "prim_pos", "prim_dir", "prim_res",
+    "op_params", "bbox_lo", "bbox_hi",
+)
+
+
+def _scene_from_refs(scene: Scene, refs) -> Scene:
+    vals = {name: ref[...] for name, ref in zip(_SCENE_FIELDS, refs)}
+    return dataclasses.replace(scene, **vals)
+
+
+def _trace_kernel(scene: Scene, params: TraceParams, *args):
+    (*scene_refs, rox, roy, roz, rdx, rdy, rdz, t_out, hit_out) = args
+    sc = _scene_from_refs(scene, scene_refs)
+    iso = params.iso
+
+    # Ray blocks are (1, 1, TILE); index off the grid dim -> 2-D [1, TILE].
+    ro = (rox[0], roy[0], roz[0])
+    rd = (rdx[0], rdy[0], rdz[0])
+
+    lo = sc.bbox_lo - 0.05  # [1, 3]
+    hi = sc.bbox_hi + 0.05
+
+    t_enter = jnp.zeros_like(ro[0])
+    t_exit = jnp.full_like(ro[0], 1e30)
+    for i in range(3):
+        di = jnp.where(
+            jnp.abs(rd[i]) < 1e-12, jnp.where(rd[i] < 0, -1e-12, 1e-12), rd[i]
+        )
+        inv = 1.0 / di
+        ta = (lo[0:1, i : i + 1] - ro[i]) * inv
+        tb = (hi[0:1, i : i + 1] - ro[i]) * inv
+        t_enter = jnp.maximum(t_enter, jnp.minimum(ta, tb))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(ta, tb))
+    alive0 = (t_exit > t_enter).astype(jnp.float32)
+
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+    base_step = diag * params.step_frac
+    r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
+    adaptive = scene.monotone_field
+    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
+
+    def eval_f(t):
+        return field_rows(
+            sc, ro[0] + t * rd[0], ro[1] + t * rd[1], ro[2] + t * rd[2]
+        ) - iso
+
+    f0 = eval_f(t_enter)
+    state = (
+        t_enter,
+        f0,
+        t_enter,
+        f0,
+        jnp.where(f0 >= 0.0, alive0, 0.0),   # found (f32 mask)
+        jnp.where(f0 < 0.0, alive0, 0.0),    # alive (f32 mask)
+        jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s[6] < params.max_steps) & (jnp.sum(s[5]) > 0.0)
+
+    def body(s):
+        t, f, t_prev, f_prev, found, alive, it = s
+        if adaptive:
+            # cbrt(x) = exp(log(x)/3) — Mosaic has no cbrt primitive.
+            fv = jnp.maximum(f + iso, 1e-30)
+            cb = jnp.exp(jnp.log(fv) * (1.0 / 3.0))
+            r = jnp.sqrt(jnp.maximum(1.0 - cb, 0.0))
+            dt = jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
+        else:
+            dt = base_step
+        t_new = jnp.minimum(t + dt, t_exit)
+        f_new = eval_f(t_new)
+        is_alive = alive > 0.0
+        crossed = is_alive & (f_new >= 0.0)
+        done = is_alive & (t_new >= t_exit) & (f_new < 0.0)
+        return (
+            jnp.where(is_alive, t_new, t),
+            jnp.where(is_alive, f_new, f),
+            jnp.where(is_alive, t, t_prev),
+            jnp.where(is_alive, f, f_prev),
+            jnp.maximum(found, crossed.astype(jnp.float32)),
+            alive * (1.0 - crossed) * (1.0 - done),
+            it + 1,
+        )
+
+    t, f, t_prev, f_prev, found, alive, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    def bis_body(_, ab):
+        a, b = ab
+        m = 0.5 * (a + b)
+        fm = eval_f(m)
+        return (jnp.where(fm < 0.0, m, a), jnp.where(fm < 0.0, b, m))
+
+    a, b = jax.lax.fori_loop(0, params.bisect_steps, bis_body, (t_prev, t))
+    fa = eval_f(a)
+    fb = eval_f(b)
+    denom = fb - fa
+    t_root = a - fa * (b - a) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
+    hit_out[0] = found
+
+
+def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
+                 params: TraceParams = TraceParams(),
+                 interpret: bool = False):
+    """Forward sphere trace via the Pallas tile kernel (raw hit params)."""
+    n = ro.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        # Padded rays start far away pointing +x and miss everything.
+        ro = jnp.concatenate([ro, jnp.full((pad, 3), 1e7, ro.dtype)], 0)
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[1.0, 0, 0]], rd.dtype), (pad, 1))], 0
+        )
+    tiles = n_pad // TILE
+
+    def comp(a, i):  # [N,3] -> [tiles, 1, TILE]
+        return a[:, i].reshape(tiles, 1, TILE)
+
+    ray_args = [comp(ro, 0), comp(ro, 1), comp(ro, 2),
+                comp(rd, 0), comp(rd, 1), comp(rd, 2)]
+    scene_args = [getattr(scene, f) for f in _SCENE_FIELDS]
+    # 1-D arrays can't be indexed/unsqueezed inside Mosaic — ship them 2-D.
+    scene_args[0] = scene_args[0][:, None]      # prim_type [P,1]
+    scene_args[-2] = scene_args[-2][None, :]    # bbox_lo [1,3]
+    scene_args[-1] = scene_args[-1][None, :]    # bbox_hi [1,3]
+
+    scene_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_FIELDS
+    ]
+    ray_spec = pl.BlockSpec(
+        (1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+        jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+    ]
+    t_tiles, hit_tiles = pl.pallas_call(
+        partial(_trace_kernel, scene, params),
+        grid=(tiles,),
+        in_specs=scene_specs + [ray_spec] * 6,
+        out_specs=[ray_spec, ray_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*scene_args, *ray_args)
+
+    t = t_tiles.reshape(-1)[:n]
+    hit = hit_tiles.reshape(-1)[:n] > 0.5
+    return t, hit
+
+
+def trace_fast(scene: Scene, ro: jax.Array, rd: jax.Array,
+               params: TraceParams = TraceParams(),
+               interpret: bool = False):
+    """Pallas forward march + implicit-differentiation correction: same
+    output and gradients as render.sphere_trace.trace, at tile speed.
+    Falls back to the XLA tracer for scenes outside the kernel fast path."""
+    from ..ops.field import gradient
+
+    if not supports_rows_fast_path(scene):
+        return trace_xla(scene, ro, rd, params)
+
+    # pallas_call has no autodiff rule; the kernel output is only used
+    # under stop_gradient (the implicit-diff correction below carries the
+    # true derivative), so give the call an explicit zero-cotangent VJP.
+    @jax.custom_vjp
+    def raw(scene_, ro_, rd_):
+        return trace_pallas(scene_, ro_, rd_, params, interpret=interpret)
+
+    def raw_fwd(scene_, ro_, rd_):
+        return raw(scene_, ro_, rd_), None
+
+    def raw_bwd(_, g):
+        zero_scene = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating
+            ) else jnp.zeros(jnp.shape(x), jax.dtypes.float0),
+            scene,
+        )
+        return zero_scene, jnp.zeros_like(ro), jnp.zeros_like(rd)
+
+    raw.defvjp(raw_fwd, raw_bwd)
+    t_root, found = raw(scene, ro, rd)
+    t0 = jax.lax.stop_gradient(t_root)
+    x0 = ro + t0[:, None] * rd
+    g = gradient(scene, x0)
+    dfdt = jnp.sum(g * rd, -1)
+    dfdt = jax.lax.stop_gradient(
+        jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
+    )
+    f_at = field(scene, x0) - params.iso
+    t_hit = jnp.where(found, t0 - f_at / dfdt, t0)
+    return t_hit, found

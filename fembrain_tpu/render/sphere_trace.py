@@ -70,15 +70,19 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
 
     diag = jnp.linalg.norm(hi - lo)
     base_step = diag * params.step_frac
-    # r(f): conservative distance (local units) to the nearest skeleton.
+    # r(f): conservative distance (local units) to the nearest skeleton —
+    # only valid when the total field bounds every primitive's field
+    # (unions/blends, no warps); converted to world units by the scene's
+    # max world->local stretch. Otherwise march fixed steps.
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
+    adaptive = scene.monotone_field
+    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
 
     def step_size(f):
-        # Distance lower bound to the f=iso shell; falls back to base_step
-        # inside/near the surface. The 0.9 keeps the bound conservative
-        # under mild anisotropic prim scaling.
+        if not adaptive:
+            return base_step
         r = jnp.sqrt(jnp.maximum(1.0 - jnp.cbrt(jnp.maximum(f, 0.0)), 0.0))
-        return jnp.maximum(base_step, 0.9 * (r - r_iso))
+        return jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
 
     def eval_f(t):
         return field(scene, ro + t[:, None] * rd) - iso
