@@ -98,10 +98,15 @@ def _trace_kernel(scene: Scene, params: TraceParams, *args):
     def body(s):
         t, f, t_prev, f_prev, found, alive, it = s
         if adaptive:
-            # cbrt(x) = exp(log(x)/3) — Mosaic has no cbrt primitive.
-            fv = jnp.maximum(f + iso, 1e-30)
-            cb = jnp.exp(jnp.log(fv) * (1.0 / 3.0))
-            r = jnp.sqrt(jnp.maximum(1.0 - cb, 0.0))
+            # Piecewise-constant lower bound on r(f) = sqrt(1 - f^(1/3)):
+            # selects are far cheaper than exp/log per ray per step, and a
+            # stale (smaller) bound is still safe.
+            fv = f + iso
+            r = jnp.full_like(fv, r_iso)
+            r = jnp.where(fv <= 0.30, 0.575, r)
+            r = jnp.where(fv <= 0.15, 0.684, r)
+            r = jnp.where(fv <= 0.05, 0.794, r)
+            r = jnp.where(fv <= 0.001, 0.948, r)
             dt = jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
         else:
             dt = base_step
