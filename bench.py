@@ -67,6 +67,90 @@ def main() -> None:
         f"prims={scene.n_prims} frame={dt*1e3:.1f}ms",
         file=sys.stderr,
     )
+    _secondary_metrics(on_tpu)
+
+
+def _secondary_metrics(on_tpu: bool) -> None:
+    """The other BASELINE metrics (FEM solve steps/s, grad-check max err)
+    as stderr JSON lines; the driver's contract is the single stdout line
+    from main()."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fembrain_tpu.fem import integrator as integ
+    from fembrain_tpu.fem.integrator import FemState
+    from fembrain_tpu.fem.tetmesh import build_fem_mesh
+    from fembrain_tpu.mesh import samples
+
+    # FEM solve steps/s on a truth cube (size scaled to backend).
+    n = 10 if on_tpu else 5
+    nodes, tets = samples.truth_cube(n, n, n, 0.1)
+    mesh = build_fem_mesh(nodes, tets, fixed=samples.bottom_nodes(nodes))
+    f = jnp.zeros((len(nodes), 3)).at[:, 1].set(-1000.0)
+    step = jax.jit(lambda s: integ.timestep(mesh, s, f, h=0.0333)[0])
+    st = step(FemState.rest(mesh))
+    float(jnp.sum(st.q))  # compile + settle
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st = step(st)
+    float(jnp.sum(st.q))
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "fem_solve_steps_per_sec",
+                "value": round(1.0 / dt, 2),
+                "unit": f"steps/s ({mesh.n_tets} tets)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    # Grad-check: autodiff vs central finite differences through the
+    # sphere tracer (BASELINE 'grad-check max err').
+    from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.render.camera import Camera, generate_rays
+    from fembrain_tpu.render.sphere_trace import trace
+
+    scene = load_blob(
+        "/root/reference/data/models/blobtree/sphere.blob"
+    ).pack()
+    cam = Camera.orbit(15.0, 10.0, 2.0)
+    ro, rd = generate_rays(cam, 16, 16)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    def loss(pos):
+        s = dataclasses.replace(scene, prim_pos=pos)
+        t, hit = trace(s, ro, rd)
+        return jnp.sum(jnp.where(hit, t, 0.0))
+
+    g = np.asarray(jax.jit(jax.grad(loss))(scene.prim_pos))[0]
+    loss_j = jax.jit(loss)
+    eps = 1e-3
+    base = np.asarray(scene.prim_pos)
+    err = 0.0
+    for k in range(3):
+        dp, dm = base.copy(), base.copy()
+        dp[0, k] += eps
+        dm[0, k] -= eps
+        fd = (
+            float(loss_j(jnp.asarray(dp))) - float(loss_j(jnp.asarray(dm)))
+        ) / (2 * eps)
+        err = max(err, abs(g[k] - fd) / max(1.0, abs(fd)))
+    print(
+        json.dumps(
+            {
+                "metric": "grad_check_max_rel_err",
+                "value": round(err, 6),
+                "unit": "relative",
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -289,6 +289,36 @@ class SceneDef:
         los, his = zip(*(self.prim_aabb(i) for i in range(len(self.prims))))
         return np.min(np.stack(los), 0), np.max(np.stack(his), 0)
 
+    # ------------------------------------------------------------- checks
+    def validate(self) -> list[str]:
+        """BlobTree structural checks (reference CheckForBlobTreeErrors,
+        src/implicit/Polygonizer.h:463-471: child indices valid, each op
+        referenced at most once, ranges well-formed). Returns violations."""
+        errors: list[str] = []
+        op_refs: dict[int, int] = {}
+        for i, op in enumerate(self.ops):
+            if op.is_range:
+                if not (0 <= op.left <= op.right < len(self.prims)):
+                    errors.append(f"op {i}: bad range [{op.left},{op.right}]")
+                continue
+            for child, is_op, label in (
+                (op.left, op.left_is_op, "left"),
+                (op.right, op.right_is_op, "right"),
+            ):
+                if label == "right" and op.is_unary:
+                    continue
+                n = len(self.ops) if is_op else len(self.prims)
+                if not (0 <= child < n):
+                    errors.append(f"op {i}: bad {label} child {child}")
+                elif is_op:
+                    op_refs[child] = op_refs.get(child, 0) + 1
+        for child, count in op_refs.items():
+            if count > 1:
+                errors.append(f"op {child}: referenced {count} times")
+        if self.root_is_op and not (0 <= self.root_idx < len(self.ops)):
+            errors.append(f"bad root op {self.root_idx}")
+        return errors
+
     # ------------------------------------------------------------- packing
     def pack(self, pad_prims: int | None = None, pad_ops: int | None = None) -> "Scene":
         """Pack into the padded, static-shape device pytree."""

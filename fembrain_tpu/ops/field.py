@@ -604,3 +604,34 @@ def normal(scene: Scene, points: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=())
 def field_jit(scene: Scene, points: jax.Array) -> jax.Array:
     return field(scene, points)
+
+
+def field_image(scene: Scene, axis: int, coord: float,
+                width: int = 128, height: int = 128) -> jax.Array:
+    """2-D field slice for debugging (reference ComputeFieldImage,
+    Polygonizer.cl:1288-1325): sample the plane `axis`=coord across the
+    scene bbox -> [height, width] field values."""
+    lo, hi = scene.bbox_lo, scene.bbox_hi
+    axes = [a for a in range(3) if a != axis]
+    us = jnp.linspace(lo[axes[0]], hi[axes[0]], width)
+    vs = jnp.linspace(lo[axes[1]], hi[axes[1]], height)
+    uu, vv = jnp.meshgrid(us, vs)
+    pts = jnp.zeros((height, width, 3))
+    pts = pts.at[..., axes[0]].set(uu)
+    pts = pts.at[..., axes[1]].set(vv)
+    pts = pts.at[..., axis].set(coord)
+    return field(scene, pts.reshape(-1, 3)).reshape(height, width)
+
+
+def off_surface_points_and_fields(scene: Scene, points: jax.Array,
+                                  offset: float = 0.1):
+    """+/- normal offset samples with their field values (reference
+    ComputeOffSurfacePointsAndFields, Polygonizer.cl:1329-1350) — the
+    RBF training-data generator, with autodiff normals."""
+    n = normal(scene, points)
+    p_out = points + offset * n
+    p_in = points - offset * n
+    return (
+        jnp.concatenate([p_out, p_in], 0),
+        jnp.concatenate([field(scene, p_out), field(scene, p_in)], 0),
+    )
