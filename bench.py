@@ -19,7 +19,7 @@ def main() -> None:
 
     from fembrain_tpu.blob.reader import load_blob
     from fembrain_tpu.render.camera import Camera, generate_rays
-    from fembrain_tpu.render.pallas_trace import trace_pallas
+    from fembrain_tpu.render.pallas_trace import trace_pallas_image
     from fembrain_tpu.render.sphere_trace import TraceParams, trace
 
     backend = jax.default_backend()
@@ -36,12 +36,18 @@ def main() -> None:
     rd = jnp.reshape(rd, (-1, 3))
     params = TraceParams()
 
-    # Pallas tile kernel on TPU; XLA path on CPU (no Mosaic there).
-    tracer = trace_pallas if on_tpu else trace
+    # Pallas tile kernel (block-coherent tiles) on TPU; XLA path on CPU
+    # (no Mosaic there).
+    if on_tpu:
+        def tracer(s, o, d):
+            return trace_pallas_image(s, o, d, height, width, params)
+    else:
+        def tracer(s, o, d):
+            return trace(s, o, d, params)
     # Reduce to a scalar and read it back each iteration: on the axon
     # backend block_until_ready returns before execution completes, so
     # only a host readback gives a true wall-clock measurement.
-    fn = jax.jit(lambda s, o, d: jnp.sum(tracer(s, o, d, params)[0]))
+    fn = jax.jit(lambda s, o, d: jnp.sum(tracer(s, o, d)[0]))
     float(fn(scene, ro, rd))  # compile + warmup
 
     t0 = time.perf_counter()
@@ -140,7 +146,7 @@ def _secondary_metrics(on_tpu: bool) -> None:
         fd = (
             float(loss_j(jnp.asarray(dp))) - float(loss_j(jnp.asarray(dm)))
         ) / (2 * eps)
-        err = max(err, abs(g[k] - fd) / max(1.0, abs(fd)))
+        err = max(err, float(abs(g[k] - fd)) / max(1.0, abs(fd)))
     print(
         json.dumps(
             {

@@ -289,6 +289,54 @@ class SceneDef:
         los, his = zip(*(self.prim_aabb(i) for i in range(len(self.prims))))
         return np.min(np.stack(los), 0), np.max(np.stack(his), 0)
 
+    def prim_support_aabb(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Guaranteed world-space superset of primitive i's field support.
+
+        Unlike `prim_aabb` (which mirrors the reference's per-type box
+        heuristics for parity), this inflates the local skeleton bbox by
+        the full Wyvill support radius (local d^2 < 1 => field = 0 outside)
+        and maps the box through the forward affine with the |A|-half-width
+        rule, so it is safe for ray-interval culling: outside the union of
+        these boxes every primitive field — and hence any op fold, which is
+        bounded above by the sum of primitive fields — is exactly zero.
+        """
+        p = self.prims[i]
+        pos, d, res = p.pos, p.dir, p.res
+        t = p.ptype
+        big = 1e8
+        if t == PrimType.POINT:
+            lo, hi = pos - 1.0, pos + 1.0
+        elif t == PrimType.LINE:
+            lo, hi = np.minimum(pos, d) - 1.0, np.maximum(pos, d) + 1.0
+        elif t == PrimType.CYLINDER:
+            s1 = pos + res[1] * d
+            e = res[0] + 1.0
+            lo, hi = np.minimum(pos, s1) - e, np.maximum(pos, s1) + e
+        elif t in (PrimType.DISC, PrimType.RING):
+            e = res[0] + 1.0
+            lo, hi = pos - e, pos + e
+        elif t == PrimType.CUBE:
+            e = res[0] + 1.0
+            lo, hi = pos - e, pos + e
+        elif t == PrimType.TRIANGLE:
+            pts = np.stack([pos, d, res[:3]])
+            lo, hi = pts.min(0) - 1.0, pts.max(0) + 1.0
+        elif t == PrimType.QUADRIC_POINT:
+            # Polynomial branch is active for dd < dir[2]; beyond that the
+            # Wyvill branch needs dd < 1 (ops/field.py quadric handling).
+            e = max(1.0, float(np.sqrt(max(float(d[2]), 0.0))))
+            lo, hi = pos - e, pos + e
+        elif t == PrimType.NULL:
+            return np.full(3, big), np.full(3, -big)  # empty: no field
+        else:  # unbounded/unknown (RBF): never cull
+            return np.full(3, -big), np.full(3, big)
+        c = 0.5 * (lo + hi)
+        h = 0.5 * (hi - lo)
+        A, b = p.fwd[:3, :3], p.fwd[:3, 3]
+        cw = A @ c + b
+        hw = np.abs(A) @ h
+        return cw - hw, cw + hw
+
     # ------------------------------------------------------------- checks
     def validate(self) -> list[str]:
         """BlobTree structural checks (reference CheckForBlobTreeErrors,
@@ -411,6 +459,10 @@ class SceneDef:
         fold_plan, fold_registers, root_reg = _alloc_fold_plan(wiring, sched)
 
         lo, hi = self.aabb()
+        bb_lo = np.full((P, 3), 1e8, np.float32)
+        bb_hi = np.full((P, 3), -1e8, np.float32)
+        for i in range(n_p):
+            bb_lo[i], bb_hi[i] = self.prim_support_aabb(i)
         return Scene(
             prim_type=jnp.asarray(prim_type),
             prim_mtx=jnp.asarray(prim_mtx),
@@ -431,6 +483,8 @@ class SceneDef:
             op_schedule=jnp.asarray(op_schedule),
             bbox_lo=jnp.asarray(lo, jnp.float32),
             bbox_hi=jnp.asarray(hi, jnp.float32),
+            prim_bb_lo=jnp.asarray(bb_lo),
+            prim_bb_hi=jnp.asarray(bb_hi),
             n_prims=n_p,
             n_ops=n_o,
             root_is_op=self.root_is_op,
@@ -591,6 +645,10 @@ class Scene:
     op_schedule: jax.Array   # [O] topo order, -1 padded
     bbox_lo: jax.Array       # [3]
     bbox_hi: jax.Array       # [3]
+    # Conservative per-prim support boxes (empty box = +/-1e8 for padding);
+    # the ray-interval culling oracle (see SceneDef.prim_support_aabb).
+    prim_bb_lo: jax.Array    # [P, 3]
+    prim_bb_hi: jax.Array    # [P, 3]
     n_prims: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_ops: int = dataclasses.field(metadata=dict(static=True), default=0)
     root_is_op: bool = dataclasses.field(metadata=dict(static=True), default=False)
@@ -622,6 +680,13 @@ class Scene:
     @property
     def capacity_prims(self) -> int:
         return self.prim_type.shape[0]
+
+    @property
+    def can_cull(self) -> bool:
+        """Whether per-prim support boxes bound the field (no warps: warp
+        chains move evaluation points, so unwarped boxes don't bound the
+        warped support)."""
+        return len(self.warp_groups) == 1 and not self.warp_groups[0][0]
 
     @property
     def capacity_ops(self) -> int:

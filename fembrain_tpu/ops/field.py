@@ -180,6 +180,36 @@ _DIST2_FNS = {
 }
 
 
+def _typed_dist2(vt, pos_c, dir_c, res_c, type_row, present, dtype):
+    """Squared skeleton distance per prim with one branch per present type.
+
+    When a scene mixes POINT and LINE prims (e.g. ventricle), points are
+    routed through the line branch as degenerate segments (dir := pos =>
+    delta = 0 => t = 0 => proj = pos), which is bit-identical to the point
+    formula but saves a whole [N, G] branch pass plus its select in the
+    hot field evaluation.
+    """
+    merged_pl = {int(PrimType.POINT), int(PrimType.LINE)} <= present
+    dist2 = jnp.full(vt[0].shape, _BIG, dtype)
+    for t, fn in _DIST2_FNS.items():
+        if t not in present:
+            continue
+        if merged_pl and t == int(PrimType.POINT):
+            continue
+        if merged_pl and t == int(PrimType.LINE):
+            is_pt = type_row == int(PrimType.POINT)
+            dir_eff = tuple(
+                jnp.where(is_pt, pos_c[i], dir_c[i]) for i in range(3)
+            )
+            d2 = fn(vt, pos_c, dir_eff, res_c)
+            sel = is_pt | (type_row == t)
+        else:
+            d2 = fn(vt, pos_c, dir_c, res_c)
+            sel = type_row == t
+        dist2 = jnp.where(sel, d2, dist2)
+    return dist2
+
+
 def prim_fields(scene: Scene, points: jax.Array) -> jax.Array:
     """Field of every primitive at every point: [N, 3] -> [N, P].
 
@@ -257,14 +287,8 @@ def _group_fields(pts, mtx, ptype, pos, dirv, res, present):
     res_c = tuple(res[:, i][None, :] for i in range(4))
     type_row = ptype[None, :]
 
-    dist2 = jnp.full(vt[0].shape, _BIG, pts.dtype)
     present = set(int(t) for t in present)
-    for t, fn in _DIST2_FNS.items():
-        if t not in present:
-            continue
-        d2 = fn(vt, pos_c, dir_c, res_c)
-        dist2 = jnp.where(type_row == t, d2, dist2)
-
+    dist2 = _typed_dist2(vt, pos_c, dir_c, res_c, type_row, present, pts.dtype)
     f = wyvill(dist2)
 
     if int(PrimType.QUADRIC_POINT) in present:
@@ -360,12 +384,8 @@ def field_rows(scene: Scene, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Ar
     tp = scene.prim_type
     type_col = tp if tp.ndim == 2 else tp[:, None]
 
-    dist2 = jnp.full(vt[0].shape, _BIG, ph.dtype)
     present = set(int(t) for t in scene.prim_types_present)
-    for t, fn in _DIST2_FNS.items():
-        if t not in present:
-            continue
-        dist2 = jnp.where(type_col == t, fn(vt, pos_c, dir_c, res_c), dist2)
+    dist2 = _typed_dist2(vt, pos_c, dir_c, res_c, type_col, present, ph.dtype)
     pf = wyvill(dist2)
     if int(PrimType.QUADRIC_POINT) in present:
         d = _sub3(vt, pos_c)

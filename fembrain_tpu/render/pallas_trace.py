@@ -29,14 +29,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..blob.scene import Scene
+from ..blob.types import PrimType
 from ..ops.field import field, field_rows, supports_rows_fast_path
-from .sphere_trace import TraceParams, trace as trace_xla
+from .sphere_trace import TraceParams, support_radius_bound, trace as trace_xla
 
 TILE = 2048  # rays per kernel instance (lanes)
 
 _SCENE_FIELDS = (
     "prim_type", "prim_mtx", "prim_pos", "prim_dir", "prim_res",
-    "op_params", "bbox_lo", "bbox_hi",
+    "op_params", "bbox_lo", "bbox_hi", "prim_bb_lo", "prim_bb_hi",
 )
 
 
@@ -57,18 +58,33 @@ def _trace_kernel(scene: Scene, params: TraceParams, *args):
     lo = sc.bbox_lo - 0.05  # [1, 3]
     hi = sc.bbox_hi + 0.05
 
-    t_enter = jnp.zeros_like(ro[0])
-    t_exit = jnp.full_like(ro[0], 1e30)
+    # Per-prim support-box intervals ([P, T] planes): bracket hull + dead-ray
+    # cull, mirroring sphere_trace.prim_interval. Costs about one field eval
+    # and lets background tiles skip the march entirely.
+    margin = 0.05
+    enter = jnp.full((sc.prim_bb_lo.shape[0],) + ro[0].shape[1:], -jnp.inf)
+    exit_ = jnp.full_like(enter, jnp.inf)
     for i in range(3):
         di = jnp.where(
             jnp.abs(rd[i]) < 1e-12, jnp.where(rd[i] < 0, -1e-12, 1e-12), rd[i]
         )
         inv = 1.0 / di
-        ta = (lo[0:1, i : i + 1] - ro[i]) * inv
-        tb = (hi[0:1, i : i + 1] - ro[i]) * inv
-        t_enter = jnp.maximum(t_enter, jnp.minimum(ta, tb))
-        t_exit = jnp.minimum(t_exit, jnp.maximum(ta, tb))
-    alive0 = (t_exit > t_enter).astype(jnp.float32)
+        ta = (sc.prim_bb_lo[:, i : i + 1] - margin - ro[i]) * inv  # [P, T]
+        tb = (sc.prim_bb_hi[:, i : i + 1] + margin - ro[i]) * inv
+        enter = jnp.maximum(enter, jnp.minimum(ta, tb))
+        exit_ = jnp.minimum(exit_, jnp.maximum(ta, tb))
+    enter = jnp.maximum(enter, 0.0)
+    # Mask padded rows (inverted sentinel boxes read as infinite under the
+    # symmetric slab test); NULL type marks padding.
+    real = sc.prim_type != int(PrimType.NULL)  # [P, 1]; NULL fields are 0
+    valid = ((exit_ >= enter) & (exit_ > 0.0) & real).astype(jnp.float32)
+    t_enter = jnp.min(
+        jnp.where(valid > 0.0, enter, jnp.inf), 0, keepdims=True
+    )  # [1, T]
+    t_exit = jnp.max(jnp.where(valid > 0.0, exit_, -jnp.inf), 0, keepdims=True)
+    alive0 = jnp.max(valid, 0, keepdims=True)
+    t_enter = jnp.where(alive0 > 0.0, t_enter, 0.0)
+    t_exit = jnp.where(alive0 > 0.0, t_exit, 0.0)
 
     diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
     base_step = diag * params.step_frac
@@ -81,65 +97,77 @@ def _trace_kernel(scene: Scene, params: TraceParams, *args):
             sc, ro[0] + t * rd[0], ro[1] + t * rd[1], ro[2] + t * rd[2]
         ) - iso
 
-    f0 = eval_f(t_enter)
-    state = (
-        t_enter,
-        f0,
-        t_enter,
-        f0,
-        jnp.where(f0 >= 0.0, alive0, 0.0),   # found (f32 mask)
-        jnp.where(f0 < 0.0, alive0, 0.0),    # alive (f32 mask)
-        jnp.zeros((), jnp.int32),
-    )
-
-    def cond(s):
-        return (s[6] < params.max_steps) & (jnp.sum(s[5]) > 0.0)
-
-    def body(s):
-        t, f, t_prev, f_prev, found, alive, it = s
-        if adaptive:
-            # Piecewise-constant lower bound on r(f) = sqrt(1 - f^(1/3)):
-            # selects are far cheaper than exp/log per ray per step, and a
-            # stale (smaller) bound is still safe.
-            fv = f + iso
-            r = jnp.full_like(fv, r_iso)
-            r = jnp.where(fv <= 0.30, 0.575, r)
-            r = jnp.where(fv <= 0.15, 0.684, r)
-            r = jnp.where(fv <= 0.05, 0.794, r)
-            r = jnp.where(fv <= 0.001, 0.948, r)
-            dt = jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
-        else:
-            dt = base_step
-        t_new = jnp.minimum(t + dt, t_exit)
-        f_new = eval_f(t_new)
-        is_alive = alive > 0.0
-        crossed = is_alive & (f_new >= 0.0)
-        done = is_alive & (t_new >= t_exit) & (f_new < 0.0)
-        return (
-            jnp.where(is_alive, t_new, t),
-            jnp.where(is_alive, f_new, f),
-            jnp.where(is_alive, t, t_prev),
-            jnp.where(is_alive, f, f_prev),
-            jnp.maximum(found, crossed.astype(jnp.float32)),
-            alive * (1.0 - crossed) * (1.0 - done),
-            it + 1,
+    def run_tile(_):
+        f0 = eval_f(t_enter)
+        state = (
+            t_enter,
+            f0,
+            t_enter,
+            f0,
+            jnp.where(f0 >= 0.0, alive0, 0.0),   # found (f32 mask)
+            jnp.where(f0 < 0.0, alive0, 0.0),    # alive (f32 mask)
+            jnp.zeros((), jnp.int32),
         )
 
-    t, f, t_prev, f_prev, found, alive, _ = jax.lax.while_loop(
-        cond, body, state
+        def cond(s):
+            return (s[6] < params.max_steps) & (jnp.sum(s[5]) > 0.0)
+
+        def body(s):
+            t, f, t_prev, f_prev, found, alive, it = s
+            if adaptive:
+                # Shared piecewise bound (sphere_trace.support_radius_bound)
+                # so the XLA and Pallas marches take identical steps.
+                r = support_radius_bound(f + iso)
+                dt = jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
+            else:
+                dt = base_step
+            t_new = jnp.minimum(t + dt, t_exit)
+            f_new = eval_f(t_new)
+            is_alive = alive > 0.0
+            crossed = is_alive & (f_new >= 0.0)
+            done = is_alive & (t_new >= t_exit) & (f_new < 0.0)
+            return (
+                jnp.where(is_alive, t_new, t),
+                jnp.where(is_alive, f_new, f),
+                jnp.where(is_alive, t, t_prev),
+                jnp.where(is_alive, f, f_prev),
+                jnp.maximum(found, crossed.astype(jnp.float32)),
+                alive * (1.0 - crossed) * (1.0 - done),
+                it + 1,
+            )
+
+        t, f, t_prev, f_prev, found, alive, _ = jax.lax.while_loop(
+            cond, body, state
+        )
+
+        def bis_body(_, ab):
+            a, b = ab
+            m = 0.5 * (a + b)
+            fm = eval_f(m)
+            return (jnp.where(fm < 0.0, m, a), jnp.where(fm < 0.0, b, m))
+
+        a, b = jax.lax.fori_loop(
+            0, params.bisect_steps, bis_body, (t_prev, t)
+        )
+        fa = eval_f(a)
+        fb = eval_f(b)
+        denom = fb - fa
+        # Degenerate secant (fa == fb in f32 on a tight bracket) falls
+        # back to the midpoint — see sphere_trace.trace.
+        t_sec = a - fa * (b - a) / jnp.where(
+            jnp.abs(denom) < 1e-12, 1e-12, denom
+        )
+        t_root = jnp.where(jnp.abs(denom) < 1e-9, 0.5 * (a + b), t_sec)
+        return t_root, found
+
+    def skip_tile(_):
+        z = jnp.zeros_like(t_enter)
+        return z, z
+
+    # Whole-tile early out: background tiles pay only the interval test.
+    t_root, found = jax.lax.cond(
+        jnp.sum(alive0) > 0.0, run_tile, skip_tile, 0
     )
-
-    def bis_body(_, ab):
-        a, b = ab
-        m = 0.5 * (a + b)
-        fm = eval_f(m)
-        return (jnp.where(fm < 0.0, m, a), jnp.where(fm < 0.0, b, m))
-
-    a, b = jax.lax.fori_loop(0, params.bisect_steps, bis_body, (t_prev, t))
-    fa = eval_f(a)
-    fb = eval_f(b)
-    denom = fb - fa
-    t_root = a - fa * (b - a) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
     hit_out[0] = found
 
@@ -166,9 +194,10 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                 comp(rd, 0), comp(rd, 1), comp(rd, 2)]
     scene_args = [getattr(scene, f) for f in _SCENE_FIELDS]
     # 1-D arrays can't be indexed/unsqueezed inside Mosaic — ship them 2-D.
-    scene_args[0] = scene_args[0][:, None]      # prim_type [P,1]
-    scene_args[-2] = scene_args[-2][None, :]    # bbox_lo [1,3]
-    scene_args[-1] = scene_args[-1][None, :]    # bbox_hi [1,3]
+    fi = {f: i for i, f in enumerate(_SCENE_FIELDS)}
+    scene_args[fi["prim_type"]] = scene_args[fi["prim_type"]][:, None]  # [P,1]
+    scene_args[fi["bbox_lo"]] = scene_args[fi["bbox_lo"]][None, :]      # [1,3]
+    scene_args[fi["bbox_hi"]] = scene_args[fi["bbox_hi"]][None, :]      # [1,3]
 
     scene_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_FIELDS
@@ -192,6 +221,54 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
 
     t = t_tiles.reshape(-1)[:n]
     hit = hit_tiles.reshape(-1)[:n] > 0.5
+    return t, hit
+
+
+def block_permutation(height: int, width: int, bh: int = 32, bw: int = 64):
+    """Row-major -> block-major pixel permutation (bh*bw == TILE).
+
+    Row-major ray order makes each 2048-ray tile span a whole image row —
+    mixing background and surface rays, so the tile's early exit waits on
+    its slowest ray. Re-ordering rays into bh x bw pixel blocks makes tiles
+    spatially coherent: background blocks cull instantly and surface
+    blocks converge together. Returns [Hpad*Wpad] indices into the
+    row-major ray array, -1 for padding outside the image.
+    """
+    import numpy as np
+
+    hb, wb = -(-height // bh), -(-width // bw)
+    yy, xx = np.meshgrid(
+        np.arange(hb * bh), np.arange(wb * bw), indexing="ij"
+    )
+    flat = np.where((yy < height) & (xx < width), yy * width + xx, -1)
+    return (
+        flat.reshape(hb, bh, wb, bw).transpose(0, 2, 1, 3).reshape(-1)
+    )
+
+
+def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
+                       height: int, width: int,
+                       params: TraceParams = TraceParams(),
+                       interpret: bool = False):
+    """trace_pallas over a row-major H x W ray grid with block-coherent
+    tiling: permutes rays into 32x64 pixel blocks (one block per kernel
+    tile), traces, and scatters results back to row-major order."""
+    import numpy as np
+
+    bh, bw = 32, TILE // 32
+    perm = block_permutation(height, width, bh, bw)
+    live = perm >= 0
+    gather = jnp.asarray(np.where(live, perm, 0))
+    ro_b = jnp.where(jnp.asarray(live)[:, None], ro[gather], 1e7)
+    rd_b = jnp.where(
+        jnp.asarray(live)[:, None], rd[gather], jnp.asarray([1.0, 0.0, 0.0])
+    )
+    t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret)
+    src = jnp.asarray(np.nonzero(live)[0])
+    dst = jnp.asarray(perm[live])
+    n = height * width
+    t = jnp.zeros(n, t_b.dtype).at[dst].set(t_b[src])
+    hit = jnp.zeros(n, bool).at[dst].set(hit_b[src])
     return t, hit
 
 
@@ -235,5 +312,9 @@ def trace_fast(scene: Scene, ro: jax.Array, rd: jax.Array,
         jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
     )
     f_at = field(scene, x0) - params.iso
-    t_hit = jnp.where(found, t0 - f_at / dfdt, t0)
+    # Clamp the first-order nudge to step scale (see sphere_trace.trace):
+    # tangent rays would otherwise catapult t through the 1e-6 dfdt floor.
+    diag = jnp.sqrt(jnp.sum((scene.bbox_hi - scene.bbox_lo + 0.1) ** 2))
+    cap = 0.5 * diag * params.step_frac
+    t_hit = jnp.where(found, t0 - jnp.clip(f_at / dfdt, -cap, cap), t0)
     return t_hit, found

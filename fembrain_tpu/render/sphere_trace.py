@@ -54,6 +54,59 @@ def _ray_box(ro, rd, lo, hi):
     return jnp.maximum(tmin, 0.0), tmax
 
 
+def support_radius_bound(fv):
+    """Piecewise-constant lower bound on r(f) = sqrt(1 - f^(1/3)), the
+    conservative local distance to the nearest Wyvill skeleton given a
+    total field value f. Selects are far cheaper than exp/log per ray per
+    step, a stale (smaller) bound is still safe, and sharing one table
+    between the XLA tracer and the Pallas kernel keeps their march step
+    sequences — and therefore grazing-ray hits — identical."""
+    r = jnp.full_like(fv, 0.4544)  # r at f = iso = 0.5
+    r = jnp.where(fv <= 0.30, 0.575, r)
+    r = jnp.where(fv <= 0.15, 0.684, r)
+    r = jnp.where(fv <= 0.05, 0.794, r)
+    r = jnp.where(fv <= 0.001, 0.948, r)
+    return r
+
+
+def prim_interval(scene: Scene, ro, rd, margin: float = 0.05):
+    """Tight per-ray march bracket from per-primitive support boxes.
+
+    Intersects every ray with every prim's conservative support AABB
+    (scene.prim_bb_lo/hi) and returns the hull [t_enter, t_exit] of the
+    valid intervals plus an any-overlap mask. The field is exactly zero
+    outside the union of the boxes (each op folds below the sum of prim
+    fields), so rays with no overlap can never hit the iso surface — this
+    is the culling analog of the reference's kd-tree over prim bboxes
+    (src/implicit/KDTree.h:95), done TPU-style as a dense [N, P] test.
+    """
+    # Only real prim rows: padded rows carry inverted sentinel boxes, and
+    # the min/max slab test is symmetric in lo/hi — an inverted box would
+    # read as an infinite one.
+    bb_lo = scene.prim_bb_lo[: scene.n_prims]
+    bb_hi = scene.prim_bb_hi[: scene.n_prims]
+    inv = 1.0 / jnp.where(
+        jnp.abs(rd) < 1e-12, jnp.where(rd < 0, -1e-12, 1e-12), rd
+    )  # [N, 3]
+    enter = jnp.full(ro.shape[:1] + bb_lo.shape[:1], -jnp.inf)
+    exit_ = jnp.full_like(enter, jnp.inf)
+    for i in range(3):
+        ta = (bb_lo[None, :, i] - margin - ro[:, i : i + 1]) * inv[:, i : i + 1]
+        tb = (bb_hi[None, :, i] + margin - ro[:, i : i + 1]) * inv[:, i : i + 1]
+        enter = jnp.maximum(enter, jnp.minimum(ta, tb))
+        exit_ = jnp.minimum(exit_, jnp.maximum(ta, tb))
+    enter = jnp.maximum(enter, 0.0)
+    valid = (exit_ >= enter) & (exit_ > 0.0)  # [N, P]
+    t_enter = jnp.min(jnp.where(valid, enter, jnp.inf), -1)
+    t_exit = jnp.max(jnp.where(valid, exit_, -jnp.inf), -1)
+    alive = jnp.any(valid, -1)
+    # Keep miss-ray brackets finite: NaN/inf at dead rays would poison
+    # downstream where-masked gradients.
+    t_enter = jnp.where(alive, t_enter, 0.0)
+    t_exit = jnp.where(alive, t_exit, 0.0)
+    return t_enter, t_exit, alive
+
+
 def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
           params: TraceParams = TraceParams()):
     """March rays to the iso surface.
@@ -65,8 +118,12 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
     # Margin so the iso surface (field=0.5 shell) is inside the slab.
     lo = scene.bbox_lo - 0.05
     hi = scene.bbox_hi + 0.05
-    t_enter, t_exit = _ray_box(ro, rd, lo[None], hi[None])
-    alive0 = t_exit > t_enter
+    if scene.can_cull:
+        # Tight bracket + dead-ray culling from per-prim support boxes.
+        t_enter, t_exit, alive0 = prim_interval(scene, ro, rd)
+    else:
+        t_enter, t_exit = _ray_box(ro, rd, lo[None], hi[None])
+        alive0 = t_exit > t_enter
 
     diag = jnp.linalg.norm(hi - lo)
     base_step = diag * params.step_frac
@@ -81,7 +138,7 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
     def step_size(f):
         if not adaptive:
             return base_step
-        r = jnp.sqrt(jnp.maximum(1.0 - jnp.cbrt(jnp.maximum(f, 0.0)), 0.0))
+        r = support_radius_bound(f)
         return jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
 
     def eval_f(t):
@@ -136,7 +193,12 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
     fa = eval_f(a)
     fb = eval_f(b)
     denom = fb - fa
-    t_root = a - fa * (b - a) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    # Secant step on the bisected bracket; when the bracket is so tight
+    # that fa == fb in f32 the secant is degenerate (0/eps would catapult
+    # t far off the surface) — use the midpoint, which is already within
+    # bracket-width of the root.
+    t_sec = a - fa * (b - a) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t_root = jnp.where(jnp.abs(denom) < 1e-9, 0.5 * (a + b), t_sec)
     t_root = jnp.where(found, t_root, t_exit)
 
     # Implicit differentiation: t*(θ) solves F(ro + t rd; θ) = iso, so
@@ -150,7 +212,11 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
         jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
     )
     f_at = field(scene, x0) - iso
-    t_hit = t0 - f_at / dfdt
+    # The correction is a first-order nudge around an already-converged
+    # root; clamp it to step scale so tangent rays (∇f·rd ≈ 0 after the
+    # 1e-6 floor) can't catapult t. Clamped (pathological) rays get zero
+    # scene-gradient, which is the honest answer at a silhouette.
+    t_hit = t0 - jnp.clip(f_at / dfdt, -0.5 * base_step, 0.5 * base_step)
     t_hit = jnp.where(found, t_hit, t_exit)
     return t_hit, found
 
