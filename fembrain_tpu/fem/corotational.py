@@ -90,8 +90,7 @@ def stiffness_diag(mesh: FemMesh, R: jax.Array) -> jax.Array:
     # only the j==j' corner blocks contribute to the diagonal
     kjj = jnp.stack([keb[:, j, :, j, :] for j in range(4)], 1)  # [T,4,3,3]
     d = jnp.einsum("tab,tjbc,tac->tja", R, kjj, R)              # [T,4,3]
-    out = jnp.zeros((mesh.n_nodes, 3), d.dtype)
-    return out.at[mesh.tets.reshape(-1)].add(d.reshape(-1, 3))
+    return _scatter_nodes(mesh, d)
 
 
 def _ke_apply(ke, v12):
@@ -110,5 +109,14 @@ def _blockT_apply(R, v12):
 
 
 def _scatter_nodes(mesh: FemMesh, fe) -> jax.Array:
-    out = jnp.zeros((mesh.n_nodes, 3), fe.dtype)
-    return out.at[mesh.tets.reshape(-1)].add(fe.reshape(-1, 4, 3).reshape(-1, 3))
+    """Element -> node assembly in gather form: pad the [T*4, 3] slot
+    array with one zero row, gather each node's incident slots
+    (mesh.node_gather) and sum. Equivalent to an index-add scatter but
+    vectorizes on TPU (scatter-add lowers to a serial loop there).
+    Meshes without a gather map (shard-local tet partitions) scatter."""
+    slots = fe.reshape(-1, 3)
+    if mesh.node_gather is None:
+        out = jnp.zeros((mesh.n_nodes, 3), slots.dtype)
+        return out.at[mesh.tets.reshape(-1)].add(slots)
+    slots = jnp.concatenate([slots, jnp.zeros((1, 3), slots.dtype)], 0)
+    return jnp.sum(slots[mesh.node_gather], 1)

@@ -40,6 +40,10 @@ CG_MAX_ITERS = 10_000
 class FemState:
     q: jax.Array      # [N, 3] displacements
     qvel: jax.Array   # [N, 3]
+    # Previous step's velocity delta (kept for observability; measured
+    # unhelpful as a CG warm start — dv is acceleration-like and not
+    # frame-coherent, so the solver cold-starts like the reference).
+    dv: jax.Array | None = None
 
     @classmethod
     def rest(cls, mesh: FemMesh) -> "FemState":
@@ -47,22 +51,28 @@ class FemState:
         return cls(q=z, qvel=z)
 
 
-def pcg(matvec, b, diag, tol=CG_TOL, max_iters=CG_MAX_ITERS):
+def pcg(matvec, b, diag, tol=CG_TOL, max_iters=CG_MAX_ITERS, x0=None):
     """Jacobi-preconditioned conjugate gradients as a lax.while_loop.
 
-    Stops when |r|^2 <= tol^2 |b|^2 (vegafem CGSolver convention)."""
+    Stopping rule matches the reference's Jacobi PCG (vegafem
+    CGSolver::SolveLinearSystemWithJacobiPreconditioner,
+    sparseSolver/CGSolver.cpp:146-149): the M^-1-weighted residual
+    norm z.r against tol^2 times its INITIAL value."""
     inv_diag = 1.0 / jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
-    x = jnp.zeros_like(b)
-    r = b
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - matvec(x0)
     z = r * inv_diag
     p = z
     rz = jnp.vdot(r, z)
-    b2 = jnp.vdot(b, b)
-    thresh = (tol * tol) * b2
+    thresh = (tol * tol) * rz
 
     def cond(s):
         x, r, p, rz, it = s
-        return (jnp.vdot(r, r) > thresh) & (it < max_iters)
+        return (rz > thresh) & (it < max_iters)
 
     def body(s):
         x, r, p, rz, it = s
@@ -127,6 +137,8 @@ def timestep(
     diag = jnp.where(free, diag, 1.0)
 
     if differentiable:
+        # No warm start here: custom_linear_solve reuses `solve` for the
+        # adjoint system, where the primal guess would be wrong.
         dv = jax.lax.custom_linear_solve(
             matvec,
             residual,
@@ -139,4 +151,4 @@ def timestep(
 
     qvel = jnp.where(free, state.qvel + dv, 0.0)
     q = jnp.where(free, state.q + h * qvel, 0.0)
-    return FemState(q=q, qvel=qvel), iters
+    return FemState(q=q, qvel=qvel, dv=dv), iters

@@ -92,9 +92,11 @@ def _shard_fns(mesh: FemMesh, device_mesh: Mesh):
     repl = P()
 
     def local_mesh(tets, inv_dm, volume, ke, rest, mass, fixed):
+        # node_gather indexes the GLOBAL slot space; shard-local slot
+        # arrays need index-add assembly (corotational._scatter_nodes).
         return dataclasses.replace(
             mesh, tets=tets, inv_dm=inv_dm, volume=volume, ke=ke,
-            rest=rest, mass=mass, fixed=fixed,
+            rest=rest, mass=mass, fixed=fixed, node_gather=None,
             n_tets=tets.shape[0], n_nodes=n_nodes,
         )
 

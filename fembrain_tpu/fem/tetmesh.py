@@ -35,6 +35,13 @@ class FemMesh:
     ke: jax.Array          # [T, 12, 12] undeformed element stiffness
     mass: jax.Array        # [N] lumped nodal mass
     fixed: jax.Array       # [N] bool, fixed vertices (all 3 DOFs)
+    # Transposed assembly: per node, the (tet*4 + corner) slots that
+    # scatter into it, padded with T*4 (a zero slot). Turns the per-CG-
+    # iteration scatter-add — which lowers serially on TPU — into a
+    # vectorized gather + sum over the incidence axis. None (e.g. in
+    # shard-local meshes, whose slot spaces differ) falls back to
+    # index-add assembly.
+    node_gather: jax.Array | None = None
     n_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_tets: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -113,6 +120,15 @@ def build_fem_mesh(
         fixed_mask = np.zeros(len(nodes), bool)
         fixed_mask[np.asarray(fixed, np.int64)] = True
 
+    # Transposed (gather-form) assembly map: slots sorted by node.
+    flat_nodes = tets.reshape(-1)                 # slot s touches node
+    order = np.argsort(flat_nodes, kind="stable")
+    counts = np.bincount(flat_nodes, minlength=len(nodes))
+    K = int(counts.max()) if len(counts) else 1
+    node_gather = np.full((len(nodes), K), len(flat_nodes), np.int32)
+    col = np.concatenate([np.arange(c) for c in counts]) if K else None
+    node_gather[flat_nodes[order], col] = order.astype(np.int32)
+
     return FemMesh(
         rest=jnp.asarray(nodes, dtype),
         tets=jnp.asarray(tets),
@@ -121,6 +137,7 @@ def build_fem_mesh(
         ke=jnp.asarray(ke, dtype),
         mass=jnp.asarray(mass, dtype),
         fixed=jnp.asarray(fixed_mask),
+        node_gather=jnp.asarray(node_gather),
         n_nodes=int(len(nodes)),
         n_tets=int(len(tets)),
     )

@@ -585,6 +585,30 @@ def _fold_scan(scene: Scene, pf: jax.Array) -> jax.Array:
     return regs[scene.root_reg]
 
 
+def field_via(scene: Scene, points: jax.Array, strategy: str) -> jax.Array:
+    """Field evaluation with an explicit fold strategy — the analog of the
+    reference's FieldComputer benchmark wrapper that exposes its stackless
+    vs explicit-stack traversal kernels side by side
+    (src/implicit/FieldComputer.cpp:34-56, 253-330). Strategies:
+
+      'unrolled' — trace-time dataflow unroll (the stackless-route analog)
+      'scan'     — register-file lax.scan fold (the runtime-stack analog)
+
+    Both produce identical values; `field` picks automatically by op count.
+    """
+    shape = points.shape[:-1]
+    pf = prim_fields(scene, points.reshape(-1, 3))
+    if not scene.root_is_op:
+        return jnp.sum(pf[:, : scene.n_prims], -1).reshape(shape)
+    if strategy == "unrolled":
+        out = _fold_unrolled(scene, pf)
+    elif strategy == "scan":
+        out = _fold_scan(scene, pf)
+    else:
+        raise ValueError(f"unknown fold strategy {strategy!r}")
+    return out.reshape(shape)
+
+
 def field_and_color(scene: Scene, points: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Field plus field-weighted material color [..., 3]->([...], [..., 4]).
 

@@ -29,7 +29,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..blob.scene import Scene
-from ..blob.types import PrimType
 from ..ops.field import field, field_rows, supports_rows_fast_path
 from .sphere_trace import TraceParams, support_radius_bound, trace as trace_xla
 
@@ -46,45 +45,23 @@ def _scene_from_refs(scene: Scene, refs) -> Scene:
     return dataclasses.replace(scene, **vals)
 
 
-def _trace_kernel(scene: Scene, params: TraceParams, *args):
-    (*scene_refs, rox, roy, roz, rdx, rdy, rdz, t_out, hit_out) = args
+def _trace_kernel(scene: Scene, params: TraceParams, tile_cond: bool, *args):
+    (*scene_refs, rox, roy, roz, rdx, rdy, rdz,
+     ten, tex, alv, t_out, hit_out) = args
     sc = _scene_from_refs(scene, scene_refs)
     iso = params.iso
 
     # Ray blocks are (1, 1, TILE); index off the grid dim -> 2-D [1, TILE].
     ro = (rox[0], roy[0], roz[0])
     rd = (rdx[0], rdy[0], rdz[0])
+    # March brackets precomputed by sphere_trace.prim_interval (fused XLA,
+    # shared with the reference tracer so step sequences are identical).
+    t_enter = ten[0]
+    t_exit = tex[0]
+    alive0 = alv[0]
 
     lo = sc.bbox_lo - 0.05  # [1, 3]
     hi = sc.bbox_hi + 0.05
-
-    # Per-prim support-box intervals ([P, T] planes): bracket hull + dead-ray
-    # cull, mirroring sphere_trace.prim_interval. Costs about one field eval
-    # and lets background tiles skip the march entirely.
-    margin = 0.05
-    enter = jnp.full((sc.prim_bb_lo.shape[0],) + ro[0].shape[1:], -jnp.inf)
-    exit_ = jnp.full_like(enter, jnp.inf)
-    for i in range(3):
-        di = jnp.where(
-            jnp.abs(rd[i]) < 1e-12, jnp.where(rd[i] < 0, -1e-12, 1e-12), rd[i]
-        )
-        inv = 1.0 / di
-        ta = (sc.prim_bb_lo[:, i : i + 1] - margin - ro[i]) * inv  # [P, T]
-        tb = (sc.prim_bb_hi[:, i : i + 1] + margin - ro[i]) * inv
-        enter = jnp.maximum(enter, jnp.minimum(ta, tb))
-        exit_ = jnp.minimum(exit_, jnp.maximum(ta, tb))
-    enter = jnp.maximum(enter, 0.0)
-    # Mask padded rows (inverted sentinel boxes read as infinite under the
-    # symmetric slab test); NULL type marks padding.
-    real = sc.prim_type != int(PrimType.NULL)  # [P, 1]; NULL fields are 0
-    valid = ((exit_ >= enter) & (exit_ > 0.0) & real).astype(jnp.float32)
-    t_enter = jnp.min(
-        jnp.where(valid > 0.0, enter, jnp.inf), 0, keepdims=True
-    )  # [1, T]
-    t_exit = jnp.max(jnp.where(valid > 0.0, exit_, -jnp.inf), 0, keepdims=True)
-    alive0 = jnp.max(valid, 0, keepdims=True)
-    t_enter = jnp.where(alive0 > 0.0, t_enter, 0.0)
-    t_exit = jnp.where(alive0 > 0.0, t_exit, 0.0)
 
     diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
     base_step = diag * params.step_frac
@@ -160,22 +137,27 @@ def _trace_kernel(scene: Scene, params: TraceParams, *args):
         t_root = jnp.where(jnp.abs(denom) < 1e-9, 0.5 * (a + b), t_sec)
         return t_root, found
 
-    def skip_tile(_):
-        z = jnp.zeros_like(t_enter)
-        return z, z
+    if tile_cond:
+        def skip_tile(_):
+            z = jnp.zeros_like(t_enter)
+            return z, z
 
-    # Whole-tile early out: background tiles pay only the interval test.
-    t_root, found = jax.lax.cond(
-        jnp.sum(alive0) > 0.0, run_tile, skip_tile, 0
-    )
+        # Whole-tile early out: background tiles skip the march entirely.
+        t_root, found = jax.lax.cond(
+            jnp.sum(alive0) > 0.0, run_tile, skip_tile, 0
+        )
+    else:
+        t_root, found = run_tile(0)
     t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
     hit_out[0] = found
 
 
 def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                  params: TraceParams = TraceParams(),
-                 interpret: bool = False):
+                 interpret: bool = False, tile_cond: bool = True):
     """Forward sphere trace via the Pallas tile kernel (raw hit params)."""
+    from .sphere_trace import prim_interval
+
     n = ro.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -187,11 +169,20 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         )
     tiles = n_pad // TILE
 
+    # March brackets in fused XLA (one pass over all rays), shared with
+    # the XLA tracer; the kernel just marches.
+    t_enter, t_exit, alive0 = prim_interval(scene, ro, rd)
+
     def comp(a, i):  # [N,3] -> [tiles, 1, TILE]
         return a[:, i].reshape(tiles, 1, TILE)
 
+    def comp1(a):  # [N] -> [tiles, 1, TILE]
+        return a.reshape(tiles, 1, TILE)
+
     ray_args = [comp(ro, 0), comp(ro, 1), comp(ro, 2),
-                comp(rd, 0), comp(rd, 1), comp(rd, 2)]
+                comp(rd, 0), comp(rd, 1), comp(rd, 2),
+                comp1(t_enter), comp1(t_exit),
+                comp1(alive0.astype(jnp.float32))]
     scene_args = [getattr(scene, f) for f in _SCENE_FIELDS]
     # 1-D arrays can't be indexed/unsqueezed inside Mosaic — ship them 2-D.
     fi = {f: i for i, f in enumerate(_SCENE_FIELDS)}
@@ -211,9 +202,9 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
     ]
     t_tiles, hit_tiles = pl.pallas_call(
-        partial(_trace_kernel, scene, params),
+        partial(_trace_kernel, scene, params, tile_cond),
         grid=(tiles,),
-        in_specs=scene_specs + [ray_spec] * 6,
+        in_specs=scene_specs + [ray_spec] * 9,
         out_specs=[ray_spec, ray_spec],
         out_shape=out_shape,
         interpret=interpret,
@@ -249,7 +240,7 @@ def block_permutation(height: int, width: int, bh: int = 32, bw: int = 64):
 def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
                        height: int, width: int,
                        params: TraceParams = TraceParams(),
-                       interpret: bool = False):
+                       interpret: bool = False, tile_cond: bool = True):
     """trace_pallas over a row-major H x W ray grid with block-coherent
     tiling: permutes rays into 32x64 pixel blocks (one block per kernel
     tile), traces, and scatters results back to row-major order."""
@@ -263,7 +254,8 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
     rd_b = jnp.where(
         jnp.asarray(live)[:, None], rd[gather], jnp.asarray([1.0, 0.0, 0.0])
     )
-    t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret)
+    t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret,
+                              tile_cond=tile_cond)
     src = jnp.asarray(np.nonzero(live)[0])
     dst = jnp.asarray(perm[live])
     n = height * width

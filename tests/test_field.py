@@ -148,3 +148,22 @@ def test_field_and_color_shapes():
     assert f.shape == (16,)
     assert c.shape == (16, 4)
     assert bool(jnp.all(c >= 0))
+
+
+def test_field_via_strategies_agree():
+    """FieldComputer-analog API: unrolled (stackless-route analog) and
+    scan (runtime-stack analog) folds agree on a canned op scene
+    (reference FieldComputer.cpp:253-330 kernel comparison)."""
+    import numpy as np
+
+    from fembrain_tpu.ops.field import field, field_via
+
+    sc = load_blob(BLOB_DIR / "tumor.blob")
+    sc.flatten_instances()
+    scene = sc.pack()
+    pts = np.random.default_rng(3).uniform(-2, 2, (256, 3)).astype(np.float32)
+    f_auto = np.asarray(field(scene, pts))
+    f_unrl = np.asarray(field_via(scene, pts, "unrolled"))
+    f_scan = np.asarray(field_via(scene, pts, "scan"))
+    np.testing.assert_allclose(f_unrl, f_auto, rtol=0, atol=0)
+    np.testing.assert_allclose(f_scan, f_auto, rtol=1e-6, atol=1e-6)
