@@ -28,6 +28,7 @@ from .mesh.polygonize import (
     grid_for_scene,
     polygonize,
 )
+from .graphics.scenegraph import SceneGraph, SGMesh, SGNode
 from .render.camera import Camera
 from .render.sphere_trace import render_image
 from .utils.config import SimConfig
@@ -85,6 +86,30 @@ class SimulationApp:
         self.metrics = MetricsLogger(jsonl_path=metrics_path)
         self._grid_to_node = self.tetmesh.grid_to_node
 
+        # Retained scene graph (reference TheSceneGraph, main.cpp:682-742):
+        # the deformed tissue surface as a mesh node plus a physics driver
+        # node whose timestep() advances the FEM; draw() yields world-space
+        # geometry batches for the offline viewer.
+        self.scenegraph = SceneGraph()
+        self.scenegraph.camera = self.camera
+        self._surface_node = SGMesh(
+            "tissue",
+            np.asarray(self.surface.verts)[: int(self.surface.n_verts)],
+            np.asarray(self.surface.tris)[: int(self.surface.n_tris)],
+        )
+        self.scenegraph.add(self._surface_node)
+
+        class _PhysicsNode(SGNode):
+            def __init__(node, app):
+                super().__init__("physics")
+                node.app = app
+
+            def timestep(node):
+                node.app._last_disp = node.app.timestep()
+
+        self._physics_node = self.scenegraph.add(_PhysicsNode(self))
+        self._last_disp = None
+
     # ------------------------------------------------------------- stepping
     def timestep(self, haptic: tuple[np.ndarray, np.ndarray] | None = None):
         """One physics frame + surface coupling (reference timestep(),
@@ -105,6 +130,12 @@ class SimulationApp:
                 state.q,
             )
         self.frame += 1
+        # Keep the scene-graph surface node in world-space sync
+        # (ApplyVertexDeformations analog for the retained draw path).
+        nv = int(self.surface.n_verts)
+        self._surface_node.verts = np.asarray(
+            self.surface.verts + disp
+        )[:nv]
         dt = time.perf_counter() - t0
         st = self.deformable.stats()
         self.metrics.append(

@@ -42,7 +42,12 @@ class SimConfig:
         s = SettingsScript.load(path)
         cfg = cls()
         cfg.relative_path = s.read_bool("MODEL", "RELATIVEPATH", True)
-        cfg.input_file = s.read_str("MODEL", "INPUTFILE")
+        # The reference reads only INPUTFILE (main.cpp:523-525); older
+        # shipped .sim files (sphere.sim etc.) use the BLOBFILE key, so
+        # accept it as a fallback to load every canned config.
+        cfg.input_file = s.read_str("MODEL", "INPUTFILE") or s.read_str(
+            "MODEL", "BLOBFILE"
+        )
         fixed = s.read_int_array("MODEL", "FIXEDVERTICES")
         cfg.fixed_vertices = [v for v in fixed if v >= 0]
         cfg.ground_level = s.read_float("SYSTEM", "GROUNDLEVEL", 0.0)

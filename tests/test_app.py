@@ -1,0 +1,40 @@
+"""End-to-end SimulationApp smoke: .sim load -> polygonize -> FEM ->
+scene-graph draw/timestep fan-out (reference main.cpp startup + GLUT loop)."""
+import numpy as np
+import pytest
+
+from fembrain_tpu.app import SimulationApp
+
+
+@pytest.fixture(scope="module")
+def app():
+    a = SimulationApp(
+        "/root/reference/data/models/sphere.sim", cellsize=0.3
+    )
+    yield a
+    a.close()
+
+
+def test_app_builds_scene_and_meshes(app):
+    assert int(app.surface.n_verts) > 0
+    assert app.fem.n_tets > 0
+    assert len(app.scenegraph) == 2  # tissue + physics nodes
+    assert app.scenegraph.get("tissue") is not None
+
+
+def test_app_scenegraph_timestep_advances_fem(app):
+    frames0 = app.frame
+    app.scenegraph.timestep()  # physics node drives app.timestep()
+    assert app.frame == frames0 + 1
+    assert app._last_disp is not None  # physics node captured coupling
+    assert np.isfinite(np.asarray(app.deformable.state.q)).all()
+
+
+def test_app_draw_batch_follows_deformation(app):
+    batches = app.scenegraph.draw()
+    names = [b.name for b in batches]
+    assert "tissue" in names
+    tissue = batches[names.index("tissue")]
+    assert tissue.verts.shape[0] == int(app.surface.n_verts)
+    assert tissue.faces.shape[1] == 3
+    assert np.isfinite(tissue.verts).all()
