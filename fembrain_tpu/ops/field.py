@@ -70,10 +70,14 @@ def _dist2_line(vt, pos, dirv, res):
 
 def _dist2_cylinder(vt, pos, dirv, res):
     # res = (radius, height, ...) (Polygonizer.cl:559-571).
+    # The 1e-20 floor keeps the sqrt gradient finite for on-axis queries
+    # (max saturates -> zero partial instead of inf * 0 = NaN), and makes
+    # the formula safe as the degenerate-POINT branch (dirv = 0, r = h =
+    # 0 gives d^2 = |p|^2 to 1 ulp).
     p = _sub3(vt, pos)
     y = _dot3(p, dirv)
     pp = _dot3(p, p)
-    x = jnp.maximum(0.0, jnp.sqrt(jnp.maximum(pp - y * y, 0.0)) - res[0])
+    x = jnp.maximum(0.0, jnp.sqrt(jnp.maximum(pp - y * y, 1e-20)) - res[0])
     y = jnp.where(y > 0.0, jnp.maximum(0.0, y - res[1]), y)
     return x * x + y * y
 
@@ -183,25 +187,42 @@ _DIST2_FNS = {
 def _typed_dist2(vt, pos_c, dir_c, res_c, type_row, present, dtype):
     """Squared skeleton distance per prim with one branch per present type.
 
-    When a scene mixes POINT and LINE prims (e.g. ventricle), points are
-    routed through the line branch as degenerate segments (dir := pos =>
-    delta = 0 => t = 0 => proj = pos), which is bit-identical to the point
-    formula but saves a whole [N, G] branch pass plus its select in the
-    hot field evaluation.
+    When a scene mixes POINT with LINE or CYLINDER prims, points are
+    routed through the other branch in degenerate form — LINE with
+    dir := pos (delta = 0 => t = 0 => proj = pos, bit-identical to the
+    point formula) or CYLINDER with dir = 0, r = h = 0 (d^2 = |p|^2 to
+    1 ulp) — saving a whole [N, G] branch pass plus its select in the
+    hot field evaluation (e.g. ventricle = 15 points + 2 cylinders).
     """
-    merged_pl = {int(PrimType.POINT), int(PrimType.LINE)} <= present
+    merge_into = None
+    if int(PrimType.POINT) in present:
+        if int(PrimType.LINE) in present:
+            merge_into = int(PrimType.LINE)
+        elif int(PrimType.CYLINDER) in present:
+            merge_into = int(PrimType.CYLINDER)
     dist2 = jnp.full(vt[0].shape, _BIG, dtype)
+    zero = jnp.zeros_like(pos_c[0])
     for t, fn in _DIST2_FNS.items():
         if t not in present:
             continue
-        if merged_pl and t == int(PrimType.POINT):
+        if merge_into is not None and t == int(PrimType.POINT):
             continue
-        if merged_pl and t == int(PrimType.LINE):
+        if merge_into is not None and t == merge_into:
             is_pt = type_row == int(PrimType.POINT)
-            dir_eff = tuple(
-                jnp.where(is_pt, pos_c[i], dir_c[i]) for i in range(3)
-            )
-            d2 = fn(vt, pos_c, dir_eff, res_c)
+            if t == int(PrimType.LINE):
+                dir_eff = tuple(
+                    jnp.where(is_pt, pos_c[i], dir_c[i]) for i in range(3)
+                )
+                res_eff = res_c
+            else:  # CYLINDER
+                dir_eff = tuple(
+                    jnp.where(is_pt, zero, dir_c[i]) for i in range(3)
+                )
+                res_eff = (
+                    jnp.where(is_pt, zero, res_c[0]),
+                    jnp.where(is_pt, zero, res_c[1]),
+                ) + tuple(res_c[2:])
+            d2 = fn(vt, pos_c, dir_eff, res_eff)
             sel = is_pt | (type_row == t)
         else:
             d2 = fn(vt, pos_c, dir_c, res_c)
