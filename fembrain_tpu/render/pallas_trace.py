@@ -256,12 +256,12 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
     )
     t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret,
                               tile_cond=tile_cond)
-    src = jnp.asarray(np.nonzero(live)[0])
-    dst = jnp.asarray(perm[live])
-    n = height * width
-    t = jnp.zeros(n, t_b.dtype).at[dst].set(t_b[src])
-    hit = jnp.zeros(n, bool).at[dst].set(hit_b[src])
-    return t, hit
+    # Unpack via the INVERSE permutation (a gather): a scatter here would
+    # serialize on TPU and cost more than the whole march saves.
+    inv = np.empty(height * width, np.int64)
+    inv[perm[live]] = np.nonzero(live)[0]
+    inv_j = jnp.asarray(inv)
+    return t_b[inv_j], hit_b[inv_j]
 
 
 def trace_fast(scene: Scene, ro: jax.Array, rd: jax.Array,

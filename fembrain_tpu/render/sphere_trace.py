@@ -100,6 +100,16 @@ def prim_interval(scene: Scene, ro, rd, margin: float = 0.05):
     t_enter = jnp.min(jnp.where(valid, enter, jnp.inf), -1)
     t_exit = jnp.max(jnp.where(valid, exit_, -jnp.inf), -1)
     alive = jnp.any(valid, -1)
+    # Intersect with the reference-heuristic scene slab: the support hull
+    # over-covers (full Wyvill radius) while the heuristic bbox is what
+    # the reference clips to — taking both keeps acceptance and bracket
+    # length no worse than either bound alone.
+    s_enter, s_exit = _ray_box(
+        ro, rd, scene.bbox_lo[None] - margin, scene.bbox_hi[None] + margin
+    )
+    t_enter = jnp.maximum(t_enter, s_enter)
+    t_exit = jnp.minimum(t_exit, s_exit)
+    alive = alive & (s_exit > s_enter) & (t_exit >= t_enter)
     # Keep miss-ray brackets finite: NaN/inf at dead rays would poison
     # downstream where-masked gradients.
     t_enter = jnp.where(alive, t_enter, 0.0)
