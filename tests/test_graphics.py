@@ -176,3 +176,41 @@ def test_catmull_rom_uniform_speed():
 def test_spline_rejects_single_point():
     with pytest.raises(ValueError):
         CatmullRom([[0, 0, 0]])
+
+
+# ------------------------------------------------------------------- raster
+def test_rasterize_triangle_visible_and_depth_ordered():
+    from fembrain_tpu.graphics.raster import rasterize
+    from fembrain_tpu.graphics.scenegraph import DrawBatch
+
+    cam = Camera.make(eye=[0.0, 0.0, 5.0], target=[0.0, 0.0, 0.0])
+    near = DrawBatch(
+        "near",
+        np.array([[-1, -1, 1.0], [1, -1, 1.0], [0, 1, 1.0]]),
+        np.array([[0, 1, 2]], np.int32),
+        color=(1.0, 0.0, 0.0, 1.0),
+    )
+    far = DrawBatch(
+        "far",
+        np.array([[-2, -2, -1.0], [2, -2, -1.0], [0, 2, -1.0]]),
+        np.array([[0, 1, 2]], np.int32),
+        color=(0.0, 0.0, 1.0, 1.0),
+    )
+    img = rasterize([far, near], cam, 80, 60)
+    center = img[30, 40]
+    assert center[0] > center[2]  # near (red) wins the depth test
+    assert (img != 1.0).any()
+
+
+def test_rasterize_points_and_scenegraph_integration():
+    from fembrain_tpu.graphics.raster import rasterize
+
+    sg = SceneGraph()
+    sg.camera = Camera.make(eye=[0.0, 0.0, 4.0], target=[0.0, 0.0, 0.0])
+    sg.add(_tri_mesh("t"))
+    cloud = SGMesh("cloud", np.array([[0.5, 0.5, 0.0]]), None,
+                   color=(0.0, 1.0, 0.0, 1.0))
+    sg.add(cloud)
+    img = rasterize(sg.draw(), sg.camera, 64, 48)
+    assert img.shape == (48, 64, 3)
+    assert (img != 1.0).any()
