@@ -173,10 +173,33 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="/tmp/fembrain_frames")
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument("--xprof", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="fail fast on NaN in any jitted computation "
+                         "(the purity-era analog of the reference's "
+                         "by-construction race safety, SURVEY 5.2)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save FEM state every N frames (0 = never)")
+    ap.add_argument("--checkpoint", default="/tmp/fembrain_ckpt.msgpack",
+                    help="checkpoint path for --checkpoint-every/--resume")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore FEM state from --checkpoint before "
+                         "stepping (checkpoint-restart around the sim "
+                         "loop, SURVEY 5.3/5.4)")
     args = ap.parse_args(argv)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     app = SimulationApp(args.file, cellsize=args.cellsize,
                         metrics_path=args.metrics)
+
+    from .utils.checkpoint import load_pytree, save_pytree
+
+    if args.resume:
+        app.deformable.state = load_pytree(
+            args.checkpoint, app.deformable.state
+        )
+        the_logger().info(f"resumed FEM state from {args.checkpoint}")
     outdir = Path(args.out)
     if args.render_every:
         outdir.mkdir(parents=True, exist_ok=True)
@@ -191,6 +214,15 @@ def main(argv=None) -> int:
     disp = None
     for i in range(args.frames):
         disp = app.timestep()
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            import dataclasses as _dc
+
+            # dv is a transient solver diagnostic; dropping it keeps the
+            # checkpoint structure equal to a fresh rest state for resume.
+            save_pytree(
+                args.checkpoint,
+                _dc.replace(app.deformable.state, dv=None),
+            )
         if args.render_every and i % args.render_every == 0:
             img = app.render_frame()
             try:
