@@ -179,7 +179,7 @@ def main(argv=None) -> int:
                          "by-construction race safety, SURVEY 5.2)")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save FEM state every N frames (0 = never)")
-    ap.add_argument("--checkpoint", default="/tmp/fembrain_ckpt.msgpack",
+    ap.add_argument("--checkpoint", default="/tmp/fembrain_ckpt.npz",
                     help="checkpoint path for --checkpoint-every/--resume")
     ap.add_argument("--resume", action="store_true",
                     help="restore FEM state from --checkpoint before "

@@ -38,3 +38,22 @@ def test_app_draw_batch_follows_deformation(app):
     assert tissue.verts.shape[0] == int(app.surface.n_verts)
     assert tissue.faces.shape[1] == 3
     assert np.isfinite(tissue.verts).all()
+
+
+def test_app_cli_checkpoint_resume(tmp_path):
+    """--checkpoint-every N writes a FEM state pytree that --resume
+    restores (checkpoint-restart around the sim loop, SURVEY 5.3/5.4)."""
+    from fembrain_tpu.app import main
+
+    ck = str(tmp_path / "state.msgpack")
+    rc = main(["--file", "/root/reference/data/models/sphere.sim",
+               "--cellsize", "0.35", "--frames", "2",
+               "--checkpoint-every", "1", "--checkpoint", ck])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(ck) or os.path.exists(ck + ".npz")
+    rc = main(["--file", "/root/reference/data/models/sphere.sim",
+               "--cellsize", "0.35", "--frames", "1",
+               "--resume", "--checkpoint", ck])
+    assert rc == 0
