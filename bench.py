@@ -45,15 +45,24 @@ def main() -> None:
     else:
         def tracer(s, o, d):
             return trace(s, o, d, params)
-    # Reduce to a scalar and read it back each iteration: on the axon
-    # backend block_until_ready returns before execution completes, so
-    # only a host readback gives a true wall-clock measurement.
-    fn = jax.jit(lambda s, o, d: jnp.sum(tracer(s, o, d)[0]))
+
+    # A single host<->device round trip costs ~25 ms on this tunnel, so
+    # per-frame dispatch+readback would swamp the measurement. Chain
+    # `iters` frames in one lax.scan (each depends on the previous via a
+    # ray-origin epsilon so XLA cannot hoist the body) and read back one
+    # scalar: wall clock / iters = true per-frame device time.
+    def frames(s, o, d):
+        def body(acc, _):
+            t = tracer(s, o + acc * 1e-30, d)[0]
+            return jnp.sum(t), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return acc
+
+    fn = jax.jit(frames)
     float(fn(scene, ro, rd))  # compile + warmup
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        float(fn(scene, ro, rd))
+    float(fn(scene, ro, rd))
     dt = (time.perf_counter() - t0) / iters
 
     rays = width * height
@@ -74,7 +83,56 @@ def main() -> None:
         f"prims={scene.n_prims} frame={dt*1e3:.1f}ms",
         file=sys.stderr,
     )
+    _brain_metric(tracer, params, width, height, iters, target)
     _secondary_metrics(on_tpu)
+
+
+def _brain_metric(tracer, params, width, height, iters, target) -> None:
+    """BASELINE config #3: the full brain BlobTree (~220 prims) at 1080p,
+    as a stderr JSON line (the stdout contract stays the single headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.render.camera import Camera, generate_rays
+
+    path = "data/models/blobtree/brain.blob"
+    try:
+        sc = load_blob(path)
+    except FileNotFoundError:
+        print(f"# brain scene missing: {path}", file=sys.stderr)
+        return
+    sc.flatten_instances()
+    scene = sc.pack()
+    cam = Camera.orbit(30.0, 20.0, 8.0)
+    ro, rd = generate_rays(cam, width, height)
+    ro = jnp.reshape(ro, (-1, 3))
+    rd = jnp.reshape(rd, (-1, 3))
+
+    def frames(s, o, d):
+        def body(acc, _):
+            t = tracer(s, o + acc * 1e-30, d)[0]
+            return jnp.sum(t), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return acc
+
+    fn = jax.jit(frames)
+    float(fn(scene, ro, rd))
+    t0 = time.perf_counter()
+    float(fn(scene, ro, rd))
+    dt = (time.perf_counter() - t0) / iters
+    rays_per_sec = width * height / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_per_chip_brain_1080p",
+                "value": round(rays_per_sec, 1),
+                "unit": f"rays/s/chip ({scene.n_prims} prims)",
+                "vs_baseline": round(rays_per_sec / target, 4),
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 def _secondary_metrics(on_tpu: bool) -> None:
@@ -92,26 +150,38 @@ def _secondary_metrics(on_tpu: bool) -> None:
     from fembrain_tpu.fem.tetmesh import build_fem_mesh
     from fembrain_tpu.mesh import samples
 
-    # FEM solve steps/s on a truth cube (size scaled to backend).
+    # FEM solve steps/s on a truth cube (size scaled to backend). The sim
+    # loop runs device-resident (lax.scan chain, one readback), exactly as
+    # the app would deploy it — per-dispatch tunnel latency excluded.
     n = 10 if on_tpu else 5
     nodes, tets = samples.truth_cube(n, n, n, 0.1)
     mesh = build_fem_mesh(nodes, tets, fixed=samples.bottom_nodes(nodes))
     f = jnp.zeros((len(nodes), 3)).at[:, 1].set(-1000.0)
-    step = jax.jit(lambda s: integ.timestep(mesh, s, f, h=0.0333)[0])
-    st = step(FemState.rest(mesh))
-    float(jnp.sum(st.q))  # compile + settle
-    iters = 5
+    steps = 30 if on_tpu else 5
+
+    def run(st):
+        def one(st, _):
+            st2, it = integ.timestep(mesh, st, f, h=0.0333)
+            return st2, it
+        st, its = jax.lax.scan(one, st, None, length=steps)
+        return jnp.sum(st.q), its
+
+    runj = jax.jit(run)
+    s, its = runj(FemState.rest(mesh))
+    float(s)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        st = step(st)
-    float(jnp.sum(st.q))
-    dt = (time.perf_counter() - t0) / iters
+    s, its = runj(FemState.rest(mesh))
+    float(s)
+    dt = (time.perf_counter() - t0) / steps
+    its = np.asarray(its)
     print(
         json.dumps(
             {
                 "metric": "fem_solve_steps_per_sec",
                 "value": round(1.0 / dt, 2),
                 "unit": f"steps/s ({mesh.n_tets} tets)",
+                "cg_iters_mean": round(float(its.mean()), 1),
+                "cg_iters_max": int(its.max()),
             }
         ),
         file=sys.stderr,

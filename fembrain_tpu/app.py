@@ -215,14 +215,9 @@ def main(argv=None) -> int:
     for i in range(args.frames):
         disp = app.timestep()
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
-            import dataclasses as _dc
-
-            # dv is a transient solver diagnostic; dropping it keeps the
-            # checkpoint structure equal to a fresh rest state for resume.
-            save_pytree(
-                args.checkpoint,
-                _dc.replace(app.deformable.state, dv=None),
-            )
+            # Full state including dv (the CG warm start), so a resumed
+            # run continues with identical solver behavior.
+            save_pytree(args.checkpoint, app.deformable.state)
         if args.render_every and i % args.render_every == 0:
             img = app.render_frame()
             try:

@@ -198,7 +198,7 @@ def step(
         )
         vy = jnp.where(pen, -GROUND_RESTITUTION * v[:, 1], v[:, 1])
         v = v.at[:, 1].set(vy)
-        new_state = FemState(q=q, qvel=v)
+        new_state = FemState(q=q, qvel=v, dv=new_state.dv)
 
     return new_state, StepStats(cg_iters=cg_iters, n_collided=n_collided)
 

@@ -40,35 +40,44 @@ CG_MAX_ITERS = 10_000
 class FemState:
     q: jax.Array      # [N, 3] displacements
     qvel: jax.Array   # [N, 3]
-    # Previous step's velocity delta (kept for observability; measured
-    # unhelpful as a CG warm start — dv is acceleration-like and not
-    # frame-coherent, so the solver cold-starts like the reference).
+    # Previous step's velocity delta: the CG warm start (dv is h*accel,
+    # which IS frame-coherent once the stopping threshold is measured
+    # against |b| rather than the warm-started initial residual —
+    # measuring vs r0 silently tightened the tolerance and made warm
+    # starts look useless in round 1). None = cold start.
     dv: jax.Array | None = None
 
     @classmethod
     def rest(cls, mesh: FemMesh) -> "FemState":
         z = jnp.zeros_like(mesh.rest)
-        return cls(q=z, qvel=z)
+        # dv included so the pytree structure is identical to stepped
+        # states (a None->array change retriggers jit compilation).
+        return cls(q=z, qvel=z, dv=z)
 
 
-def pcg(matvec, b, diag, tol=CG_TOL, max_iters=CG_MAX_ITERS, x0=None):
-    """Jacobi-preconditioned conjugate gradients as a lax.while_loop.
+def pcg(matvec, b, prec, tol=CG_TOL, max_iters=CG_MAX_ITERS, x0=None):
+    """Preconditioned conjugate gradients as a lax.while_loop.
 
-    Stopping rule matches the reference's Jacobi PCG (vegafem
-    CGSolver::SolveLinearSystemWithJacobiPreconditioner,
-    sparseSolver/CGSolver.cpp:146-149): the M^-1-weighted residual
-    norm z.r against tol^2 times its INITIAL value."""
-    inv_diag = 1.0 / jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+    `prec` is either a diagonal array (Jacobi, the reference's default —
+    vegafem CGSolver::SolveLinearSystemWithJacobiPreconditioner,
+    sparseSolver/CGSolver.cpp:146-149) or a callable r -> M^-1 r (e.g.
+    3x3 block-Jacobi). Stopping rule: M^-1-weighted residual norm z.r
+    against tol^2 times the norm of b — the cold-start initial residual,
+    so a warm start x0 reduces iterations instead of (as with an
+    r0-relative rule) merely tightening the effective tolerance."""
+    if not callable(prec):
+        inv_diag = 1.0 / jnp.where(jnp.abs(prec) < 1e-30, 1.0, prec)
+        prec = lambda r: r * inv_diag  # noqa: E731
+    thresh = (tol * tol) * jnp.vdot(b, prec(b))
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
     else:
         x = x0
         r = b - matvec(x0)
-    z = r * inv_diag
+    z = prec(r)
     p = z
     rz = jnp.vdot(r, z)
-    thresh = (tol * tol) * rz
 
     def cond(s):
         x, r, p, rz, it = s
@@ -80,7 +89,7 @@ def pcg(matvec, b, diag, tol=CG_TOL, max_iters=CG_MAX_ITERS, x0=None):
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
-        z = r * inv_diag
+        z = prec(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = z + beta * p
@@ -114,7 +123,11 @@ def timestep(
     f_int = co.internal_forces(mesh, state.q, R)
     m = mesh.mass[:, None]
 
-    kq = co.stiffness_apply(mesh, R, state.qvel)
+    # R is constant across the CG solve: materialize R Ke R^T once so the
+    # per-iteration matvec is a single batched 12x12 product.
+    krot = co.rotated_stiffness(mesh, R)
+
+    kq = co.stiffness_apply_pre(mesh, krot, state.qvel)
     residual = -h * (
         (h + damping_stiffness) * kq
         + damping_mass * m * state.qvel
@@ -128,13 +141,23 @@ def timestep(
 
     def matvec(v):
         vf = jnp.where(free, v, 0.0)
-        out = mass_coef * m * vf + stiff_coef * co.stiffness_apply(mesh, R, vf)
+        out = mass_coef * m * vf + stiff_coef * co.stiffness_apply_pre(
+            mesh, krot, vf
+        )
         return jnp.where(free, out, v)
 
-    diag = mass_coef * jnp.broadcast_to(m, residual.shape) + (
-        stiff_coef * co.stiffness_diag(mesh, R)
+    # 3x3 block-Jacobi preconditioner: per-node diagonal blocks of K_eff,
+    # inverted once per step (identity on fixed nodes, matching matvec's
+    # identity rows there).
+    eye = jnp.eye(3, dtype=residual.dtype)
+    blocks = (mass_coef * m)[..., None] * eye + stiff_coef * (
+        co.stiffness_blocks(mesh, krot)
     )
-    diag = jnp.where(free, diag, 1.0)
+    blocks = jnp.where(free[..., None], blocks, eye)
+    inv_blocks = co._inv3(blocks)
+
+    def prec(r):
+        return jnp.einsum("nab,nb->na", inv_blocks, r)
 
     if differentiable:
         # No warm start here: custom_linear_solve reuses `solve` for the
@@ -142,12 +165,15 @@ def timestep(
         dv = jax.lax.custom_linear_solve(
             matvec,
             residual,
-            solve=lambda mv, b: pcg(mv, b, diag, cg_tol, cg_max_iters)[0],
+            solve=lambda mv, b: pcg(mv, b, prec, cg_tol, cg_max_iters)[0],
             symmetric=True,
         )
         iters = jnp.asarray(-1, jnp.int32)
     else:
-        dv, iters = pcg(matvec, residual, diag, cg_tol, cg_max_iters)
+        x0 = None
+        if state.dv is not None:
+            x0 = jnp.where(free, state.dv, 0.0)
+        dv, iters = pcg(matvec, residual, prec, cg_tol, cg_max_iters, x0=x0)
 
     qvel = jnp.where(free, state.qvel + dv, 0.0)
     q = jnp.where(free, state.q + h * qvel, 0.0)
