@@ -19,7 +19,7 @@ def main() -> None:
 
     from fembrain_tpu.blob.reader import load_blob
     from fembrain_tpu.render.camera import Camera, generate_rays
-    from fembrain_tpu.render.pallas_trace import trace_pallas
+    from fembrain_tpu.render.pallas_trace import trace_pallas_image
     from fembrain_tpu.render.sphere_trace import TraceParams, trace
 
     backend = jax.default_backend()
@@ -36,12 +36,13 @@ def main() -> None:
     rd = jnp.reshape(rd, (-1, 3))
     params = TraceParams()
 
-    # Pallas tile kernel on TPU (row-major tiles + tile-level early out —
-    # measured faster than block-permuted tiles, whose HBM ray gather
-    # costs more than the coherence saves); XLA path on CPU (no Mosaic).
+    # Pallas tile kernel on TPU with block-coherent (32x64 pixel) tiles:
+    # spatial tiles give compact ray hulls, so the per-tile prim-block
+    # culling skips most of the scene per march step (brain: 3x over
+    # row-major tiles). XLA path on CPU (no Mosaic).
     if on_tpu:
         def tracer(s, o, d):
-            return trace_pallas(s, o, d, params)
+            return trace_pallas_image(s, o, d, height, width, params)
     else:
         def tracer(s, o, d):
             return trace(s, o, d, params)

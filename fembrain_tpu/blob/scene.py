@@ -691,3 +691,51 @@ class Scene:
     @property
     def capacity_ops(self) -> int:
         return self.op_type.shape[0]
+
+    @property
+    def is_additive(self) -> bool:
+        """True when the total field is EXACTLY the sum of all primitive
+        fields: no warps, every operator is a sum-fold (BLEND family), and
+        each real primitive / interior op feeds exactly one parent. Blobby
+        anatomy scenes (brain, ventricle, tumor: one root BLEND) are all
+        additive, which licenses order-free evaluation — the basis for the
+        per-tile primitive culling in the Pallas tracer."""
+        if not self.can_cull:
+            return False
+        if not self.root_is_op:
+            return True  # ops.field sums all prims in this case
+        sum_ops = (
+            int(OpType.BLEND),
+            int(OpType.GRADIENT_BLEND),
+            int(OpType.FAST_QUADRIC_POINT_SET),
+        )
+        prim_refs = [0] * self.n_prims
+        op_refs = {k: 0 for k in self.schedule}
+        for k in self.schedule:
+            w = self.wiring[k]
+            if w.otype not in sum_ops:
+                return False
+            if w.is_range:
+                if w.right >= self.n_prims:
+                    return False
+                for i in range(w.left, w.right + 1):
+                    prim_refs[i] += 1
+            else:
+                if w.left_is_op:
+                    op_refs[w.left] += 1
+                elif w.left < self.n_prims:
+                    prim_refs[w.left] += 1
+                else:
+                    return False
+                if not w.is_unary:
+                    if w.right_is_op:
+                        op_refs[w.right] += 1
+                    elif w.right < self.n_prims:
+                        prim_refs[w.right] += 1
+                    else:
+                        return False
+        interior_ok = all(
+            op_refs[k] == (0 if k == self.root_idx else 1)
+            for k in self.schedule
+        )
+        return interior_ok and all(r == 1 for r in prim_refs)

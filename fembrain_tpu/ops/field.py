@@ -377,6 +377,24 @@ def supports_rows_fast_path(scene: Scene) -> bool:
     return plain_warps and len(scene.schedule) <= UNROLL_LIMIT
 
 
+def rows_prim_fields(vt, pos_c, dir_c, res_c, type_col, present):
+    """Primitive fields in transposed (rows) layout: vt is a 3-tuple of
+    [G, T] local coordinates, prim params are column tuples of [G, 1];
+    returns [G, T] Wyvill fields. Strictly 2-D — lowers inside Mosaic.
+    Shared by field_rows and the Pallas tracer's per-block evaluator."""
+    present = set(int(t) for t in present)
+    dist2 = _typed_dist2(vt, pos_c, dir_c, res_c, type_col, present,
+                         vt[0].dtype)
+    pf = wyvill(dist2)
+    if int(PrimType.QUADRIC_POINT) in present:
+        d = _sub3(vt, pos_c)
+        dd = _dot3(d, d)
+        quad = dd * dd * res_c[0] + dd * res_c[1] + res_c[2]
+        fq = jnp.where(dir_c[2] > dd, quad, wyvill(dd))
+        pf = jnp.where(type_col == int(PrimType.QUADRIC_POINT), fq, pf)
+    return pf
+
+
 def field_rows(scene: Scene, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     """Transposed-layout field evaluation for Pallas kernels.
 
@@ -406,14 +424,7 @@ def field_rows(scene: Scene, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Ar
     type_col = tp if tp.ndim == 2 else tp[:, None]
 
     present = set(int(t) for t in scene.prim_types_present)
-    dist2 = _typed_dist2(vt, pos_c, dir_c, res_c, type_col, present, ph.dtype)
-    pf = wyvill(dist2)
-    if int(PrimType.QUADRIC_POINT) in present:
-        d = _sub3(vt, pos_c)
-        dd = _dot3(d, d)
-        quad = dd * dd * res_c[0] + dd * res_c[1] + res_c[2]
-        fq = jnp.where(dir_c[2] > dd, quad, wyvill(dd))
-        pf = jnp.where(type_col == int(PrimType.QUADRIC_POINT), fq, pf)
+    pf = rows_prim_fields(vt, pos_c, dir_c, res_c, type_col, present)
 
     if not scene.root_is_op:
         n = scene.n_prims

@@ -29,10 +29,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..blob.scene import Scene
-from ..ops.field import field, field_rows, supports_rows_fast_path
+from ..ops.field import (
+    field,
+    field_rows,
+    rows_prim_fields,
+    supports_rows_fast_path,
+)
 from .sphere_trace import TraceParams, support_radius_bound, trace as trace_xla
 
 TILE = 2048  # rays per kernel instance (lanes)
+PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
 
 _SCENE_FIELDS = (
     "prim_type", "prim_mtx", "prim_pos", "prim_dir", "prim_res",
@@ -45,34 +51,14 @@ def _scene_from_refs(scene: Scene, refs) -> Scene:
     return dataclasses.replace(scene, **vals)
 
 
-def _trace_kernel(scene: Scene, params: TraceParams, tile_cond: bool, *args):
-    (*scene_refs, rox, roy, roz, rdx, rdy, rdz,
-     ten, tex, alv, t_out, hit_out) = args
-    sc = _scene_from_refs(scene, scene_refs)
+def _march_tile(eval_f, params: TraceParams, adaptive: bool,
+                inv_stretch: float, base_step, ro, rd,
+                t_enter, t_exit, alive0, tile_cond: bool):
+    """Shared tile march: sphere-trace [1, TILE] ray rows to the iso
+    crossing with tile-local early exit, then refine the bracket. eval_f
+    maps a [1, TILE] t-row to field-minus-iso. Returns (t_root, found)."""
     iso = params.iso
-
-    # Ray blocks are (1, 1, TILE); index off the grid dim -> 2-D [1, TILE].
-    ro = (rox[0], roy[0], roz[0])
-    rd = (rdx[0], rdy[0], rdz[0])
-    # March brackets precomputed by sphere_trace.prim_interval (fused XLA,
-    # shared with the reference tracer so step sequences are identical).
-    t_enter = ten[0]
-    t_exit = tex[0]
-    alive0 = alv[0]
-
-    lo = sc.bbox_lo - 0.05  # [1, 3]
-    hi = sc.bbox_hi + 0.05
-
-    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
-    base_step = diag * params.step_frac
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
-    adaptive = scene.monotone_field
-    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
-
-    def eval_f(t):
-        return field_rows(
-            sc, ro[0] + t * rd[0], ro[1] + t * rd[1], ro[2] + t * rd[2]
-        ) - iso
 
     def run_tile(_):
         f0 = eval_f(t_enter)
@@ -143,13 +129,178 @@ def _trace_kernel(scene: Scene, params: TraceParams, tile_cond: bool, *args):
             return z, z
 
         # Whole-tile early out: background tiles skip the march entirely.
-        t_root, found = jax.lax.cond(
+        return jax.lax.cond(
             jnp.sum(alive0) > 0.0, run_tile, skip_tile, 0
         )
-    else:
-        t_root, found = run_tile(0)
+    return run_tile(0)
+
+
+def _trace_kernel(scene: Scene, params: TraceParams, tile_cond: bool, *args):
+    (*scene_refs, rox, roy, roz, rdx, rdy, rdz,
+     ten, tex, alv, t_out, hit_out) = args
+    sc = _scene_from_refs(scene, scene_refs)
+    iso = params.iso
+
+    # Ray blocks are (1, 1, TILE); index off the grid dim -> 2-D [1, TILE].
+    ro = (rox[0], roy[0], roz[0])
+    rd = (rdx[0], rdy[0], rdz[0])
+    # March brackets precomputed by sphere_trace.prim_interval (fused XLA,
+    # shared with the reference tracer so step sequences are identical).
+    t_enter = ten[0]
+    t_exit = tex[0]
+    alive0 = alv[0]
+
+    lo = sc.bbox_lo - 0.05  # [1, 3]
+    hi = sc.bbox_hi + 0.05
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+    base_step = diag * params.step_frac
+    adaptive = scene.monotone_field
+    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
+
+    def eval_f(t):
+        return field_rows(
+            sc, ro[0] + t * rd[0], ro[1] + t * rd[1], ro[2] + t * rd[2]
+        ) - iso
+
+    t_root, found = _march_tile(
+        eval_f, params, adaptive, inv_stretch, base_step,
+        ro, rd, t_enter, t_exit, alive0, tile_cond,
+    )
     t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
     hit_out[0] = found
+
+
+def _trace_kernel_additive(scene: Scene, params: TraceParams,
+                           tile_cond: bool, n_blocks: int, *args):
+    """Additive-scene kernel: field = sum of prim fields, evaluated per
+    PRIM_BLOCK with whole blocks skipped when the tile's ray hull misses
+    the block's support AABB (live flags precomputed in XLA). The Morton
+    prim ordering (see _additive_layout) makes live blocks few and dense.
+    This is the TPU analog of the reference's kd-tree prim culling
+    (src/implicit/KDTree.h:95) for the dominant blobby-sum scenes."""
+    (live, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
+     rox, roy, roz, rdx, rdy, rdz, ten, tex, alv,
+     t_out, hit_out) = args
+    iso = params.iso
+
+    ro = (rox[0], roy[0], roz[0])
+    rd = (rdx[0], rdy[0], rdz[0])
+    t_enter = ten[0]
+    t_exit = tex[0]
+    alive0 = alv[0]
+
+    lo = blo[...] - 0.05  # [1, 3] scene bbox rows
+    hi = bhi[...] + 0.05
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+    base_step = diag * params.step_frac
+    adaptive = scene.monotone_field
+    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
+    present = scene.prim_types_present
+    B = PRIM_BLOCK
+
+    ones = jnp.ones_like(ro[0])
+
+    def eval_f(t):
+        px = ro[0] + t * rd[0]
+        py = ro[1] + t * rd[1]
+        pz = ro[2] + t * rd[2]
+
+        def body(b, acc):
+            o = pl.multiple_of(b * B, B)
+
+            def live_fn():
+                # Local transform rows for this block: [B, T] coords via
+                # VPU broadcasts (a [B,4]x[4,T] matmul is too small for
+                # the MXU to pay off).
+                vt = []
+                for m in (mx, my, mz):
+                    r0 = m[pl.ds(o, B), 0:1]
+                    r1 = m[pl.ds(o, B), 1:2]
+                    r2 = m[pl.ds(o, B), 2:3]
+                    r3 = m[pl.ds(o, B), 3:4]
+                    vt.append(r0 * px + r1 * py + r2 * pz + r3 * ones)
+                pos_c = tuple(pos[pl.ds(o, B), i : i + 1] for i in range(3))
+                dir_c = tuple(dirv[pl.ds(o, B), i : i + 1] for i in range(3))
+                res_c = tuple(res[pl.ds(o, B), i : i + 1] for i in range(4))
+                type_col = ptype[pl.ds(o, B), 0:1]
+                pf = rows_prim_fields(
+                    tuple(vt), pos_c, dir_c, res_c, type_col, present
+                )
+                return acc + jnp.sum(pf, 0, keepdims=True)
+
+            return jax.lax.cond(live[0, 0, b] > 0, live_fn, lambda: acc)
+
+        f = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(px))
+        return f - iso
+
+    t_root, found = _march_tile(
+        eval_f, params, adaptive, inv_stretch, base_step,
+        ro, rd, t_enter, t_exit, alive0, tile_cond,
+    )
+    t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
+    hit_out[0] = found
+
+
+def _additive_layout(scene: Scene):
+    """Morton-ordered prim rows + per-block support AABBs (jit-safe).
+
+    Sorting prims by the Morton code of their support-box centers makes
+    spatially-close prims share PRIM_BLOCK rows, so a tile's live prims
+    concentrate in few blocks; padding rows sort last (sentinel code) and
+    carry empty boxes that can never test live."""
+    P = scene.capacity_prims
+    c = 0.5 * (scene.prim_bb_lo + scene.prim_bb_hi)
+    span = jnp.maximum(scene.bbox_hi - scene.bbox_lo, 1e-6)
+    qn = jnp.clip((c - scene.bbox_lo[None]) / span[None], 0.0, 1.0)
+    q = (qn * 1023.0).astype(jnp.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    code = jnp.where(
+        jnp.arange(P) < scene.n_prims, code, jnp.uint32(0xFFFFFFFF)
+    )
+    perm = jnp.argsort(code)
+
+    pm = scene.prim_mtx[perm]
+    bb_lo = scene.prim_bb_lo[perm]
+    bb_hi = scene.prim_bb_hi[perm]
+    nb = P // PRIM_BLOCK
+    blk_lo = bb_lo.reshape(nb, PRIM_BLOCK, 3).min(1)
+    blk_hi = bb_hi.reshape(nb, PRIM_BLOCK, 3).max(1)
+    prim_args = [
+        pm[:, 0, :], pm[:, 1, :], pm[:, 2, :],     # mx, my, mz [P,4]
+        scene.prim_type[perm][:, None],            # [P,1]
+        scene.prim_pos[perm],
+        scene.prim_dir[perm],
+        scene.prim_res[perm],
+        scene.bbox_lo[None, :],
+        scene.bbox_hi[None, :],
+    ]
+    return prim_args, blk_lo, blk_hi, nb
+
+
+def _tile_block_live(ro, rd, t_enter, t_exit, alive, tiles, blk_lo, blk_hi):
+    """[tiles, NB] int32: does tile's marched-segment hull overlap each
+    prim block's support AABB? Conservative: every marched/refined t lies
+    in [t_enter, t_exit], so points stay inside the endpoint hull."""
+    a = ro + t_enter[:, None] * rd
+    b = ro + t_exit[:, None] * rd
+    lo_pts = jnp.where(alive[:, None], jnp.minimum(a, b), jnp.inf)
+    hi_pts = jnp.where(alive[:, None], jnp.maximum(a, b), -jnp.inf)
+    hull_lo = lo_pts.reshape(tiles, -1, 3).min(1)   # [tiles, 3]
+    hull_hi = hi_pts.reshape(tiles, -1, 3).max(1)
+    live = jnp.all(
+        (hull_lo[:, None] <= blk_hi[None] + 1e-4)
+        & (hull_hi[:, None] >= blk_lo[None] - 1e-4),
+        -1,
+    )
+    return live.astype(jnp.int32)
 
 
 def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
@@ -183,6 +334,39 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                 comp(rd, 0), comp(rd, 1), comp(rd, 2),
                 comp1(t_enter), comp1(t_exit),
                 comp1(alive0.astype(jnp.float32))]
+    ray_spec_ = pl.BlockSpec(
+        (1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    if scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0:
+        # Additive fast path: Morton-ordered prims + per-tile block culls.
+        prim_args, blk_lo, blk_hi, nb = _additive_layout(scene)
+        live = _tile_block_live(
+            ro, rd, t_enter, t_exit, alive0, tiles, blk_lo, blk_hi
+        )
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        # [tiles, 1, nb] so the per-tile SMEM block (1, 1, nb) keeps its
+        # trailing dims equal to the array's (Mosaic block-shape rule).
+        live = live[:, None, :]
+        live_spec = pl.BlockSpec(
+            (1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        )
+        out_shape_ = [
+            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+        ]
+        t_tiles, hit_tiles = pl.pallas_call(
+            partial(_trace_kernel_additive, scene, params, tile_cond, nb),
+            grid=(tiles,),
+            in_specs=[live_spec] + [vmem] * len(prim_args) + [ray_spec_] * 9,
+            out_specs=[ray_spec_, ray_spec_],
+            out_shape=out_shape_,
+            interpret=interpret,
+        )(live, *prim_args, *ray_args)
+        t = t_tiles.reshape(-1)[:n]
+        hit = hit_tiles.reshape(-1)[:n] > 0.5
+        return t, hit
+
     scene_args = [getattr(scene, f) for f in _SCENE_FIELDS]
     # 1-D arrays can't be indexed/unsqueezed inside Mosaic — ship them 2-D.
     fi = {f: i for i, f in enumerate(_SCENE_FIELDS)}

@@ -64,3 +64,31 @@ def test_trace_fast_gradients_match():
     g1 = np.asarray(jax.grad(loss_fast)(scene.prim_pos))
     g2 = np.asarray(jax.grad(loss_xla)(scene.prim_pos))
     np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-5)
+
+
+def test_is_additive_detection():
+    """Blobby scenes (root BLEND over all prims) are additive; DIF scenes
+    and warp scenes are not."""
+    assert load_blob(BLOB_DIR / "tumor.blob").pack().is_additive
+    assert load_blob(BLOB_DIR / "ventricle.blob").pack().is_additive
+    assert not load_blob(BLOB_DIR / "spheredif.blob").pack().is_additive
+
+
+def test_additive_culled_path_matches_xla_brain():
+    """The Morton-sorted, block-culled additive kernel path must agree
+    with the XLA tracer on the many-prim brain scene (the scene the
+    culling exists for)."""
+    sc = load_blob("/root/repo/data/models/blobtree/brain.blob")
+    sc.flatten_instances()
+    scene = sc.pack()
+    assert scene.is_additive
+    cam = Camera.orbit(30, 20, 8.0)
+    ro, rd = generate_rays(cam, 32, 20)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    t1, h1 = trace(scene, ro, rd)
+    t2, h2 = trace_pallas(scene, ro, rd, interpret=True)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert (h1 == h2).mean() > 0.999
+    m = h1 & h2
+    if m.any():
+        assert np.abs(np.asarray(t1)[m] - np.asarray(t2)[m]).max() < 1e-4
