@@ -463,7 +463,7 @@ class SceneDef:
         bb_hi = np.full((P, 3), -1e8, np.float32)
         for i in range(n_p):
             bb_lo[i], bb_hi[i] = self.prim_support_aabb(i)
-        return Scene(
+        scene = Scene(
             prim_type=jnp.asarray(prim_type),
             prim_mtx=jnp.asarray(prim_mtx),
             prim_pos=jnp.asarray(prim_pos),
@@ -511,6 +511,125 @@ class SceneDef:
                 )
             ),
         )
+        return _normalize_additive(scene)
+
+
+def _morton_code(centers: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """30-bit Morton codes for [P, 3] points inside [lo, hi]."""
+    qn = np.clip((centers - lo) / np.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    q = (qn * 1023.0).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def _normalize_additive(scene: Scene) -> Scene:
+    """Canonicalize additive scenes (every op a sum-fold, each prim used
+    once — the dominant blobby-anatomy case) at pack time:
+
+    * primitives are Morton-ordered by support-box center, so spatially
+      close prims share PRIM_BLOCK rows in the Pallas tracer and per-tile
+      culling skips dense, coherent blocks;
+    * the whole operator tree collapses to ONE range BLEND over all prims
+      (semantically identical — sums are order-free, and color is a
+      field-weighted sum, ops.field.field_and_color);
+    * per-block present-type sets become static metadata so the tracer
+      emits only the distance branches each block actually needs (brain:
+      162 points + 1 cylinder no longer pays the cylinder path in every
+      block).
+    """
+    if not scene.is_additive or scene.n_prims < 2:
+        return scene
+    P = scene.capacity_prims
+    block = 8  # pallas_trace.PRIM_BLOCK (f32 sublane granularity)
+    if P % block:
+        return scene
+
+    bb_lo = np.asarray(scene.prim_bb_lo)
+    bb_hi = np.asarray(scene.prim_bb_hi)
+    centers = 0.5 * (bb_lo + bb_hi)
+    code = _morton_code(
+        centers, np.asarray(scene.bbox_lo), np.asarray(scene.bbox_hi)
+    )
+    code[scene.n_prims:] = np.uint32(0xFFFFFFFF)  # padding rows sort last
+    perm = np.argsort(code, kind="stable")
+
+    def take(a):
+        return jnp.asarray(np.asarray(a)[perm])
+
+    types = np.asarray(scene.prim_type)[perm]
+    block_types = tuple(
+        tuple(sorted({int(t) for t in types[b : b + block]
+                      if t != int(PrimType.NULL)}))
+        for b in range(0, P, block)
+    )
+
+    scene = dataclasses.replace(
+        scene,
+        prim_type=take(scene.prim_type),
+        prim_mtx=take(scene.prim_mtx),
+        prim_pos=take(scene.prim_pos),
+        prim_dir=take(scene.prim_dir),
+        prim_res=take(scene.prim_res),
+        prim_color=take(scene.prim_color),
+        warp_type=take(scene.warp_type),
+        warp_params=take(scene.warp_params),
+        prim_bb_lo=take(scene.prim_bb_lo),
+        prim_bb_hi=take(scene.prim_bb_hi),
+        warp_groups=(((), tuple(range(scene.n_prims))),),
+        additive_block_types=block_types,
+    )
+    if not scene.root_is_op:
+        return scene  # op-free sum: reorder is all that's needed
+
+    # One range BLEND over all prims replaces the op tree (sums are
+    # order-free, so the collapsed form is semantically identical).
+    O = scene.capacity_ops
+    op_type = np.zeros(O, np.int32)
+    op_type[0] = int(OpType.BLEND)
+    op_left = np.zeros(O, np.int32)
+    op_right = np.zeros(O, np.int32)
+    op_right[0] = scene.n_prims - 1
+    op_is_range = np.zeros(O, np.int32)
+    op_is_range[0] = 1
+    op_schedule = np.full(O, -1, np.int32)
+    op_schedule[0] = 0
+    wiring = (
+        OpWire(int(OpType.BLEND), 0, scene.n_prims - 1, False, False,
+               True, False),
+    ) + tuple(
+        OpWire(int(OpType.BLEND), 0, 0, False, False, False, True)
+        for _ in range(O - 1)
+    )
+    sched = [0]
+    fold_plan, fold_registers, root_reg = _alloc_fold_plan(wiring, sched)
+
+    return dataclasses.replace(
+        scene,
+        op_type=jnp.asarray(op_type),
+        op_left=jnp.asarray(op_left),
+        op_right=jnp.asarray(op_right),
+        op_left_is_op=jnp.zeros(O, jnp.int32),
+        op_right_is_op=jnp.zeros(O, jnp.int32),
+        op_is_range=jnp.asarray(op_is_range),
+        op_is_unary=jnp.zeros(O, jnp.int32),
+        op_params=jnp.zeros((O, 4), jnp.float32),
+        op_schedule=jnp.asarray(op_schedule),
+        n_ops=1,
+        root_is_op=True,
+        root_idx=0,
+        wiring=wiring,
+        schedule=(0,),
+        fold_plan=fold_plan,
+        fold_registers=fold_registers,
+        root_reg=root_reg,
+    )
 
 
 def _compose_prim(src: PrimDef, inst: PrimDef) -> PrimDef:
@@ -675,6 +794,12 @@ class Scene:
     # inverse matrices; safe world step = local bound / this.
     max_world_to_local_scale: float = dataclasses.field(
         metadata=dict(static=True), default=1.0
+    )
+    # For pack-normalized additive scenes (see _normalize_additive):
+    # per-PRIM_BLOCK present primitive-type tuples, in Morton order.
+    # Empty tuple = not normalized.
+    additive_block_types: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
     )
 
     @property

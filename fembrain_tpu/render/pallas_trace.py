@@ -103,17 +103,24 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
             cond, body, state
         )
 
-        def bis_body(_, ab):
-            a, b = ab
+        # Bracket field values ride along from the march state: the
+        # closing secant costs no extra field evaluations (mirrors
+        # sphere_trace.trace exactly to keep step/root parity).
+        def bis_body(_, st):
+            a, b, fa, fb = st
             m = 0.5 * (a + b)
             fm = eval_f(m)
-            return (jnp.where(fm < 0.0, m, a), jnp.where(fm < 0.0, b, m))
+            neg = fm < 0.0
+            return (
+                jnp.where(neg, m, a),
+                jnp.where(neg, b, m),
+                jnp.where(neg, fm, fa),
+                jnp.where(neg, fb, fm),
+            )
 
-        a, b = jax.lax.fori_loop(
-            0, params.bisect_steps, bis_body, (t_prev, t)
+        a, b, fa, fb = jax.lax.fori_loop(
+            0, params.bisect_steps, bis_body, (t_prev, t, f_prev, f)
         )
-        fa = eval_f(a)
-        fb = eval_f(b)
         denom = fb - fa
         # Degenerate secant (fa == fb in f32 on a tight bracket) falls
         # back to the midpoint — see sphere_trace.trace.
@@ -178,7 +185,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     prim ordering (see _additive_layout) makes live blocks few and dense.
     This is the TPU analog of the reference's kd-tree prim culling
     (src/implicit/KDTree.h:95) for the dominant blobby-sum scenes."""
-    (live, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
+    (live, boxes, stretch, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
      rox, roy, roz, rdx, rdy, rdz, ten, tex, alv,
      t_out, hit_out) = args
     iso = params.iso
@@ -194,41 +201,90 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
     base_step = diag * params.step_frac
     adaptive = scene.monotone_field
-    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
+    # Per-tile stretch: max world->local scale over the prims this tile's
+    # rays can ever reach (statically-live blocks). Sound for the step
+    # bound — prims outside the segment hull can never be crossed here —
+    # and tighter than the global max on mixed-scale scenes (brain).
+    inv_stretch = stretch[0, 0, 0]
     present = scene.prim_types_present
     B = PRIM_BLOCK
 
     ones = jnp.ones_like(ro[0])
+    hull_mask = alive0 > 0.0
+    # Pack-normalized scenes carry static per-block type sets: each
+    # block's unrolled body emits only the distance branches it needs
+    # (brain: 20 point-only blocks + 1 point/cylinder block).
+    block_types = scene.additive_block_types or None
 
     def eval_f(t):
         px = ro[0] + t * rd[0]
         py = ro[1] + t * rd[1]
         pz = ro[2] + t * rd[2]
+        # Dynamic culling: the hull of the points actually being
+        # evaluated shrinks as rays march/refine, so blocks the static
+        # (whole-segment) test kept alive drop out step by step. Exact
+        # for evaluation — a prim whose support misses every current
+        # point contributes exactly 0.
+        hx_lo = jnp.min(jnp.where(hull_mask, px, 1e30))
+        hx_hi = jnp.max(jnp.where(hull_mask, px, -1e30))
+        hy_lo = jnp.min(jnp.where(hull_mask, py, 1e30))
+        hy_hi = jnp.max(jnp.where(hull_mask, py, -1e30))
+        hz_lo = jnp.min(jnp.where(hull_mask, pz, 1e30))
+        hz_hi = jnp.max(jnp.where(hull_mask, pz, -1e30))
+
+        def block_field(o, types):
+            # Local transform rows for this block: [B, T] coords via
+            # VPU broadcasts (a [B,4]x[4,T] matmul is too small for
+            # the MXU to pay off).
+            vt = []
+            for m in (mx, my, mz):
+                r0 = m[pl.ds(o, B), 0:1]
+                r1 = m[pl.ds(o, B), 1:2]
+                r2 = m[pl.ds(o, B), 2:3]
+                r3 = m[pl.ds(o, B), 3:4]
+                vt.append(r0 * px + r1 * py + r2 * pz + r3 * ones)
+            pos_c = tuple(pos[pl.ds(o, B), i : i + 1] for i in range(3))
+            dir_c = tuple(dirv[pl.ds(o, B), i : i + 1] for i in range(3))
+            res_c = tuple(res[pl.ds(o, B), i : i + 1] for i in range(4))
+            type_col = ptype[pl.ds(o, B), 0:1]
+            pf = rows_prim_fields(
+                tuple(vt), pos_c, dir_c, res_c, type_col, types
+            )
+            return jnp.sum(pf, 0, keepdims=True)
+
+        def dyn_live(b):
+            return (
+                (live[0, 0, b] > 0)
+                & (hx_lo <= boxes[b, 3] + 1e-4)
+                & (hx_hi >= boxes[b, 0] - 1e-4)
+                & (hy_lo <= boxes[b, 4] + 1e-4)
+                & (hy_hi >= boxes[b, 1] - 1e-4)
+                & (hz_lo <= boxes[b, 5] + 1e-4)
+                & (hz_hi >= boxes[b, 2] - 1e-4)
+            )
+
+        if block_types is not None:
+            # Static unroll with per-block type specialization.
+            f = jnp.zeros_like(px)
+            for b in range(n_blocks):
+                types = block_types[b]
+                if not types:  # padding-only block
+                    continue
+                f = jax.lax.cond(
+                    dyn_live(b),
+                    lambda acc, o=b * B, ty=types: acc + block_field(o, ty),
+                    lambda acc: acc,
+                    f,
+                )
+            return f - iso
 
         def body(b, acc):
             o = pl.multiple_of(b * B, B)
-
-            def live_fn():
-                # Local transform rows for this block: [B, T] coords via
-                # VPU broadcasts (a [B,4]x[4,T] matmul is too small for
-                # the MXU to pay off).
-                vt = []
-                for m in (mx, my, mz):
-                    r0 = m[pl.ds(o, B), 0:1]
-                    r1 = m[pl.ds(o, B), 1:2]
-                    r2 = m[pl.ds(o, B), 2:3]
-                    r3 = m[pl.ds(o, B), 3:4]
-                    vt.append(r0 * px + r1 * py + r2 * pz + r3 * ones)
-                pos_c = tuple(pos[pl.ds(o, B), i : i + 1] for i in range(3))
-                dir_c = tuple(dirv[pl.ds(o, B), i : i + 1] for i in range(3))
-                res_c = tuple(res[pl.ds(o, B), i : i + 1] for i in range(4))
-                type_col = ptype[pl.ds(o, B), 0:1]
-                pf = rows_prim_fields(
-                    tuple(vt), pos_c, dir_c, res_c, type_col, present
-                )
-                return acc + jnp.sum(pf, 0, keepdims=True)
-
-            return jax.lax.cond(live[0, 0, b] > 0, live_fn, lambda: acc)
+            return jax.lax.cond(
+                dyn_live(b),
+                lambda: acc + block_field(o, present),
+                lambda: acc,
+            )
 
         f = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(px))
         return f - iso
@@ -265,7 +321,13 @@ def _additive_layout(scene: Scene):
     code = jnp.where(
         jnp.arange(P) < scene.n_prims, code, jnp.uint32(0xFFFFFFFF)
     )
-    perm = jnp.argsort(code)
+    if scene.additive_block_types:
+        # Pack-normalized scenes are already Morton-ordered (scene.py
+        # _normalize_additive) — keep row order aligned with the static
+        # per-block type metadata.
+        perm = jnp.arange(P)
+    else:
+        perm = jnp.argsort(code)
 
     pm = scene.prim_mtx[perm]
     bb_lo = scene.prim_bb_lo[perm]
@@ -273,6 +335,17 @@ def _additive_layout(scene: Scene):
     nb = P // PRIM_BLOCK
     blk_lo = bb_lo.reshape(nb, PRIM_BLOCK, 3).min(1)
     blk_hi = bb_hi.reshape(nb, PRIM_BLOCK, 3).max(1)
+    # Per-block world->local stretch upper bound: min(Frobenius norm of
+    # the prim's linear part, global spectral max) — both upper-bound the
+    # per-prim spectral norm, so the min is still a sound bound. Padding
+    # rows (sorted last) get 0 so they never dominate a block's max.
+    frob = jnp.sqrt(jnp.sum(pm[:, :, :3] ** 2, (1, 2)))
+    per_prim = jnp.minimum(
+        frob, jnp.float32(max(scene.max_world_to_local_scale, 1e-6))
+    )
+    real = jnp.arange(P) < scene.n_prims  # perm keeps real prims first
+    per_prim = jnp.where(real, per_prim, 0.0)
+    blk_stretch = per_prim.reshape(nb, PRIM_BLOCK).max(1)  # [nb]
     prim_args = [
         pm[:, 0, :], pm[:, 1, :], pm[:, 2, :],     # mx, my, mz [P,4]
         scene.prim_type[perm][:, None],            # [P,1]
@@ -282,7 +355,7 @@ def _additive_layout(scene: Scene):
         scene.bbox_lo[None, :],
         scene.bbox_hi[None, :],
     ]
-    return prim_args, blk_lo, blk_hi, nb
+    return prim_args, blk_lo, blk_hi, blk_stretch, nb
 
 
 def _tile_block_live(ro, rd, t_enter, t_exit, alive, tiles, blk_lo, blk_hi):
@@ -305,12 +378,13 @@ def _tile_block_live(ro, rd, t_enter, t_exit, alive, tiles, blk_lo, blk_hi):
 
 def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                  params: TraceParams = TraceParams(),
-                 interpret: bool = False, tile_cond: bool = True):
+                 interpret: bool = False, tile_cond: bool = True,
+                 tile: int = TILE):
     """Forward sphere trace via the Pallas tile kernel (raw hit params)."""
     from .sphere_trace import prim_interval
 
     n = ro.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    n_pad = -(-n // tile) * tile
     pad = n_pad - n
     if pad:
         # Padded rays start far away pointing +x and miss everything.
@@ -318,51 +392,65 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         rd = jnp.concatenate(
             [rd, jnp.tile(jnp.asarray([[1.0, 0, 0]], rd.dtype), (pad, 1))], 0
         )
-    tiles = n_pad // TILE
+    tiles = n_pad // tile
 
     # March brackets in fused XLA (one pass over all rays), shared with
     # the XLA tracer; the kernel just marches.
     t_enter, t_exit, alive0 = prim_interval(scene, ro, rd)
 
-    def comp(a, i):  # [N,3] -> [tiles, 1, TILE]
-        return a[:, i].reshape(tiles, 1, TILE)
+    def comp(a, i):  # [N,3] -> [tiles, 1, tile]
+        return a[:, i].reshape(tiles, 1, tile)
 
-    def comp1(a):  # [N] -> [tiles, 1, TILE]
-        return a.reshape(tiles, 1, TILE)
+    def comp1(a):  # [N] -> [tiles, 1, tile]
+        return a.reshape(tiles, 1, tile)
 
     ray_args = [comp(ro, 0), comp(ro, 1), comp(ro, 2),
                 comp(rd, 0), comp(rd, 1), comp(rd, 2),
                 comp1(t_enter), comp1(t_exit),
                 comp1(alive0.astype(jnp.float32))]
     ray_spec_ = pl.BlockSpec(
-        (1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
     if scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0:
         # Additive fast path: Morton-ordered prims + per-tile block culls.
-        prim_args, blk_lo, blk_hi, nb = _additive_layout(scene)
+        prim_args, blk_lo, blk_hi, blk_stretch, nb = _additive_layout(scene)
         live = _tile_block_live(
             ro, rd, t_enter, t_exit, alive0, tiles, blk_lo, blk_hi
         )
+        # Per-tile stretch over statically-live blocks (0 where no block
+        # is live — tile skipped anyway; floor keeps 1/x finite).
+        tile_stretch = jnp.max(
+            jnp.where(live > 0, blk_stretch[None, :], 0.0), -1
+        )
+        tile_inv_stretch = (
+            1.0 / jnp.maximum(tile_stretch, 1e-6)
+        )[:, None, None].astype(jnp.float32)
+        boxes = jnp.concatenate([blk_lo, blk_hi], -1)  # [nb, 6]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
         # [tiles, 1, nb] so the per-tile SMEM block (1, 1, nb) keeps its
         # trailing dims equal to the array's (Mosaic block-shape rule).
         live = live[:, None, :]
         live_spec = pl.BlockSpec(
             (1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
+        stretch_spec = pl.BlockSpec(
+            (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        )
         out_shape_ = [
-            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
         ]
         t_tiles, hit_tiles = pl.pallas_call(
             partial(_trace_kernel_additive, scene, params, tile_cond, nb),
             grid=(tiles,),
-            in_specs=[live_spec] + [vmem] * len(prim_args) + [ray_spec_] * 9,
+            in_specs=[live_spec, smem_full, stretch_spec]
+            + [vmem] * len(prim_args) + [ray_spec_] * 9,
             out_specs=[ray_spec_, ray_spec_],
             out_shape=out_shape_,
             interpret=interpret,
-        )(live, *prim_args, *ray_args)
+        )(live, boxes, tile_inv_stretch, *prim_args, *ray_args)
         t = t_tiles.reshape(-1)[:n]
         hit = hit_tiles.reshape(-1)[:n] > 0.5
         return t, hit
@@ -378,12 +466,12 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_FIELDS
     ]
     ray_spec = pl.BlockSpec(
-        (1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
-        jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+        jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
+        jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
     ]
     t_tiles, hit_tiles = pl.pallas_call(
         partial(_trace_kernel, scene, params, tile_cond),
@@ -424,13 +512,17 @@ def block_permutation(height: int, width: int, bh: int = 32, bw: int = 64):
 def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
                        height: int, width: int,
                        params: TraceParams = TraceParams(),
-                       interpret: bool = False, tile_cond: bool = True):
+                       interpret: bool = False, tile_cond: bool = True,
+                       tile: int = TILE):
     """trace_pallas over a row-major H x W ray grid with block-coherent
-    tiling: permutes rays into 32x64 pixel blocks (one block per kernel
-    tile), traces, and scatters results back to row-major order."""
+    tiling: permutes rays into near-square pixel blocks (one block per
+    kernel tile), traces, and scatters results back to row-major order."""
+    import math
+
     import numpy as np
 
-    bh, bw = 32, TILE // 32
+    bh = 1 << (int(math.log2(tile)) // 2)  # near-square: bh*bw == tile
+    bw = tile // bh
     perm = block_permutation(height, width, bh, bw)
     live = perm >= 0
     gather = jnp.asarray(np.where(live, perm, 0))
@@ -439,7 +531,7 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
         jnp.asarray(live)[:, None], rd[gather], jnp.asarray([1.0, 0.0, 0.0])
     )
     t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret,
-                              tile_cond=tile_cond)
+                              tile_cond=tile_cond, tile=tile)
     # Unpack via the INVERSE permutation (a gather): a scatter here would
     # serialize on TPU and cost more than the whole march saves.
     inv = np.empty(height * width, np.int64)

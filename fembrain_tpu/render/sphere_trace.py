@@ -39,7 +39,10 @@ from .camera import Camera, generate_rays
 class TraceParams:
     iso: float = dataclasses.field(metadata=dict(static=True), default=ISO_VALUE)
     max_steps: int = dataclasses.field(metadata=dict(static=True), default=160)
-    bisect_steps: int = dataclasses.field(metadata=dict(static=True), default=12)
+    # 6 halvings of a near-surface step bracket + the closing secant put
+    # the raw root well inside 1e-4; the implicit-diff Newton correction
+    # (trace/trace_fast) then squares that error again.
+    bisect_steps: int = dataclasses.field(metadata=dict(static=True), default=6)
     # Base step as a fraction of the scene bbox diagonal.
     step_frac: float = dataclasses.field(metadata=dict(static=True), default=1 / 160)
 
@@ -188,20 +191,24 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
     found = s["found"]
 
     # Bisection refinement on the bracketing interval [t_prev, t]
-    # (replaces the reference's NR/linear root refinement).
-    def bis_body(_, ab):
-        a, b = ab
+    # (replaces the reference's NR/linear root refinement). Bracket field
+    # values ride along from the march state, so the closing secant costs
+    # no extra field evaluations.
+    def bis_body(_, st):
+        a, b, fa, fb = st
         m = 0.5 * (a + b)
         fm = eval_f(m)
-        a = jnp.where(fm < 0.0, m, a)
-        b = jnp.where(fm < 0.0, b, m)
-        return (a, b)
+        neg = fm < 0.0
+        a = jnp.where(neg, m, a)
+        fa = jnp.where(neg, fm, fa)
+        b = jnp.where(neg, b, m)
+        fb = jnp.where(neg, fb, fm)
+        return (a, b, fa, fb)
 
-    a, b = jax.lax.fori_loop(
-        0, params.bisect_steps, bis_body, (s["t_prev"], s["t"])
+    a, b, fa, fb = jax.lax.fori_loop(
+        0, params.bisect_steps, bis_body,
+        (s["t_prev"], s["t"], s["f_prev"], s["f"]),
     )
-    fa = eval_f(a)
-    fb = eval_f(b)
     denom = fb - fa
     # Secant step on the bisected bracket; when the bracket is so tight
     # that fa == fb in f32 the secant is degenerate (0/eps would catapult
