@@ -156,7 +156,21 @@ class SimulationApp:
         return self.surface.verts + disp
 
     def render_frame(self, width=400, height=300):
-        img = render_image(self.scene, self.camera, width, height)
+        """Render the CURRENT (deformed) tissue: the sphere tracer sees
+        the FEM displacement field, not just the rest-pose analytic scene
+        (reference couples every frame via ApplyVertexDeformations,
+        OclPolygonizer.cpp:1543-1596 — here the coupling is in field
+        space, render.deformed)."""
+        q = self.deformable.state.q
+        if float(jnp.max(jnp.abs(q))) > 1e-9:
+            from .render.deformed import render_deformed
+
+            img = render_deformed(
+                self.scene, self.grid, self._grid_to_node, q,
+                self.camera, width, height,
+            )
+        else:
+            img = render_image(self.scene, self.camera, width, height)
         return np.clip(np.asarray(img), 0, 1)
 
     def close(self):
