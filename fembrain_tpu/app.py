@@ -23,6 +23,7 @@ from .blob.reader import load_blob
 from .fem.deformable import Deformable, couple_surface_displacements
 from .fem.tetmesh import build_fem_mesh
 from .mesh.polygonize import (
+    check_capacity,
     default_caps,
     extract_tet_mesh,
     grid_for_scene,
@@ -55,11 +56,13 @@ class SimulationApp:
             self.grid = grid_for_scene(self.scene, cs)
             vcap, tcap = default_caps(self.grid)
             self.surface = polygonize(self.scene, self.grid, vcap, tcap)
+            check_capacity(self.surface)  # fail loudly, never corrupt
         with prof.event("tetrahedralize"):
             self.tetmesh = extract_tet_mesh(
                 self.scene, self.grid,
                 ncap=self.grid.n_vertices, tetcap=self.grid.n_cells * 6,
             )
+            check_capacity(self.tetmesh)
         n_nodes = int(self.tetmesh.n_nodes)
         n_tets = int(self.tetmesh.n_tets)
         log.info(

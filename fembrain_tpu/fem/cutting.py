@@ -65,6 +65,82 @@ def segment_quad_intersect(p0, p1, quad):
     return t
 
 
+def _batched_seg_tri(p0, p1, a, b, c, eps=1e-12):
+    """Vectorized Moller-Trumbore: segments [E,1,3] vs triangles [1,K,3]
+    (or any broadcastable shapes) -> (valid [E,K], t [E,K]). The batched
+    analog of the reference's GPU cut kernels (Cutting.cl:59-102)."""
+    import jax.numpy as jnp
+
+    d = p1 - p0
+    e1 = b - a
+    e2 = c - a
+    h = jnp.cross(d, e2)
+    det = jnp.sum(e1 * h, -1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    s = p0 - a
+    u = jnp.sum(s * h, -1) * inv
+    q = jnp.cross(s, e1)
+    v = jnp.sum(d * q, -1) * inv
+    t = jnp.sum(e2 * q, -1) * inv
+    # f32 barycentric tolerance: crossings on the quad's internal diagonal
+    # (shared edge of its two triangles) must not fall between the two
+    # triangles' exclusion zones (the scalar f64 path uses 1e-9).
+    tol = 1e-5
+    valid = (
+        (jnp.abs(det) >= eps)
+        & (u >= -tol) & (u <= 1 + tol)
+        & (v >= -tol) & (u + v <= 1 + tol)
+        & (t >= -1e-9) & (t <= 1 + 1e-9)
+    )
+    return valid, jnp.clip(t, 0.0, 1.0)
+
+
+def _edge_quad_hits_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(p0, p1, quads):
+        P0 = p0[:, None, :]                    # [E,1,3]
+        P1 = p1[:, None, :]
+        # Quad = two triangles (q0,q1,q2) and (q0,q2,q3).
+        v1, t1 = _batched_seg_tri(P0, P1, quads[None, :, 0],
+                                  quads[None, :, 1], quads[None, :, 2])
+        v2, t2 = _batched_seg_tri(P0, P1, quads[None, :, 0],
+                                  quads[None, :, 2], quads[None, :, 3])
+        t_q = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))  # [E,Q]
+        interior = (t_q > 1e-4) & (t_q < 1 - 1e-4)
+        first = jnp.argmax(interior, axis=1)                 # first quad
+        hit = jnp.any(interior, axis=1)
+        t = t_q[jnp.arange(t_q.shape[0]), first]
+        return hit, t
+
+    return run
+
+
+_EDGE_QUAD_HITS = None
+
+
+def batched_edge_quad_hits(p0: np.ndarray, p1: np.ndarray,
+                           quads: np.ndarray):
+    """All edges x all swept quads in one jitted pass: p0/p1 [E,3] edge
+    endpoints, quads [Q,4,3]. Returns (hit [E] bool, t [E]) with t from
+    the FIRST hitting quad in sweep order (matching the scalar loop's
+    break-on-first semantics). Replaces the per-edge Python loop — the
+    vectorized analog SURVEY 2.5 maps Cutting.cl's edge kernel to."""
+    import jax.numpy as jnp
+
+    global _EDGE_QUAD_HITS
+    if _EDGE_QUAD_HITS is None:
+        _EDGE_QUAD_HITS = _edge_quad_hits_jit()
+    hit, t = _EDGE_QUAD_HITS(
+        jnp.asarray(p0, jnp.float32),
+        jnp.asarray(p1, jnp.float32),
+        jnp.asarray(quads, jnp.float32),
+    )
+    return np.asarray(hit), np.asarray(t)
+
+
 # ----------------------------------------------------------------- subdivide
 def _corner_components(cut_slots: set[int]) -> list[set[int]]:
     """Connected components of the 4 corners under UNCUT edges."""
@@ -209,18 +285,25 @@ class CuttableMesh:
         an unsupported cut configuration — the reference's fail-safe.
         """
         mesh = self.mesh
-        # 1. edge vs swept-quad intersections (computeCutEdgesKernel).
+        # 1. edge vs swept-quad intersections: ALL edges x ALL quads in
+        # one jitted Moller-Trumbore batch (computeCutEdgesKernel /
+        # Cutting.cl:59-102 analog; was a per-edge Python loop).
+        live = [
+            ei for ei in range(len(mesh.edges))
+            if mesh.incident_cells_per_edge.get(ei)
+        ]
         cut_edge_t: dict[int, float] = {}
-        for ei, e in enumerate(mesh.edges):
-            if not mesh.incident_cells_per_edge.get(ei):
-                continue
-            p0 = mesh.nodes[e.from_].pos
-            p1 = mesh.nodes[e.to].pos
-            for quad in sweep_quads:
-                t = segment_quad_intersect(p0, p1, np.asarray(quad, np.float64))
-                if t is not None and 1e-4 < t < 1 - 1e-4:
-                    cut_edge_t[ei] = t
-                    break
+        if live and sweep_quads:
+            p0 = np.stack([mesh.nodes[mesh.edges[ei].from_].pos
+                           for ei in live])
+            p1 = np.stack([mesh.nodes[mesh.edges[ei].to].pos
+                           for ei in live])
+            quads = np.stack([np.asarray(q, np.float64)
+                              for q in sweep_quads])
+            hit, t = batched_edge_quad_hits(p0, p1, quads)
+            cut_edge_t = {
+                ei: float(t[i]) for i, ei in enumerate(live) if hit[i]
+            }
         if not cut_edge_t:
             return CutResult(0, 0, 0)
 

@@ -179,3 +179,71 @@ def test_probe_contact_forces():
     assert idx.size > 0
     # Force along the move direction (downward).
     assert (forces[:, 1] < 0).all()
+
+
+def test_cut_polygonized_scene_end_to_end():
+    """VERDICT r1 item 5: cut a polygonized real-scene tet mesh (plane
+    sweep), classify via the batched kernel, rebuild the FEM, and keep
+    stepping. Classification itself must be fast (one jitted batch)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.fem import integrator as integ
+    from fembrain_tpu.fem.cutting import CuttableMesh, batched_edge_quad_hits
+    from fembrain_tpu.fem.integrator import FemState
+    from fembrain_tpu.fem.tetmesh import build_fem_mesh
+    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
+
+    scene = load_blob(
+        "/root/reference/data/models/blobtree/sphere.blob"
+    ).pack()
+    grid = grid_for_scene(scene, 0.2)
+    tm = extract_tet_mesh(
+        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+    )
+    nn, nt = int(tm.n_nodes), int(tm.n_tets)
+    nodes = np.asarray(tm.nodes)[:nn]
+    tets = np.asarray(tm.tets)[:nt]
+    assert nt > 500  # app-scale, not a toy fixture
+
+    cm = CuttableMesh(nodes, tets)
+
+    # Mid-cell horizontal plane through the blob: every straddling edge
+    # crosses at t=0.5, so every affected tet is a complete (plane) cut.
+    ymid = nodes[:, 1].min() + 0.5 * (nodes[:, 1].max() - nodes[:, 1].min())
+    k = round((ymid - grid.lo[1]) / grid.cellsize)
+    y0 = grid.lo[1] + (k + 0.5) * grid.cellsize
+    lo, hi = nodes.min(0) - 1.0, nodes.max(0) + 1.0
+    quad = np.array(
+        [[lo[0], y0, lo[2]], [hi[0], y0, lo[2]],
+         [hi[0], y0, hi[2]], [lo[0], y0, hi[2]]]
+    )
+
+    # Batched classification timing (jit warmup excluded).
+    E = cm.mesh.count_edges()
+    p0 = np.stack([cm.mesh.nodes[e.from_].pos for e in cm.mesh.edges])
+    p1 = np.stack([cm.mesh.nodes[e.to].pos for e in cm.mesh.edges])
+    batched_edge_quad_hits(p0, p1, quad[None])  # compile
+    t0 = time.perf_counter()
+    hit, _ = batched_edge_quad_hits(p0, p1, quad[None])
+    classify_ms = (time.perf_counter() - t0) * 1e3
+    assert hit.sum() > 10
+    assert classify_ms < 100, f"{classify_ms:.1f} ms for {E} edges"
+
+    res = cm.cut([quad], modify=True)
+    assert res.n_cut_cells > 10 and res.n_new_cells > res.n_cut_cells
+
+    # Rebuild the FEM from the cut mesh and keep stepping
+    # (Deformable::syncForceModel analog) — the top half falls freely.
+    pos = cm.mesh.positions()
+    cells = cm.mesh.cells_array()
+    fixed = np.nonzero(pos[:, 1] < pos[:, 1].min() + 1e-6)[0]
+    fem = build_fem_mesh(pos, cells, fixed=fixed)
+    f = jnp.zeros((fem.n_nodes, 3)).at[:, 1].set(-1000.0)
+    st = FemState.rest(fem)
+    for _ in range(3):
+        st, _ = integ.timestep(fem, st, f, h=0.01)
+    q = np.asarray(st.q)
+    assert np.isfinite(q).all() and np.abs(q).max() > 1e-6

@@ -149,3 +149,32 @@ def test_vertex_positions_differentiable():
     # what matters is autodiff == finite differences.
     assert abs(g[0] - fd) < 1e-3
     assert g[0] > 0.1
+
+
+def test_over_tight_caps_raise():
+    """Over-tight capacities must raise, not return a silently-corrupt
+    mesh (round-1 VERDICT weak #7)."""
+    import pytest
+
+    from fembrain_tpu.mesh.polygonize import (
+        CapacityError,
+        check_capacity,
+        extract_tet_mesh,
+        grid_for_scene,
+        polygonize,
+    )
+
+    scene = load_blob(BLOB_DIR / "sphere.blob").pack()
+    grid = grid_for_scene(scene, 0.3)
+    tight = polygonize(scene, grid, vcap=8, tcap=8)
+    with pytest.raises(CapacityError):
+        check_capacity(tight)
+    tm = extract_tet_mesh(scene, grid, ncap=4, tetcap=4)
+    with pytest.raises(CapacityError):
+        check_capacity(tm)
+    # Generous caps pass.
+    from fembrain_tpu.mesh.polygonize import default_caps
+
+    vcap, tcap = default_caps(grid)
+    ok = polygonize(scene, grid, vcap, tcap)
+    check_capacity(ok)
