@@ -18,6 +18,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
+HOST_AXIS = "host"
+CHIP_AXIS = "chip"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = RAY_AXIS) -> Mesh:
@@ -28,9 +30,48 @@ def make_mesh(n_devices: int | None = None, axis: str = RAY_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> int:
+    """Multi-host entry point (SURVEY §5.8): on a real multi-host slice
+    call this once per process before any JAX op — it wires the JAX
+    runtime so jax.devices() spans every host (DCN between hosts, ICI
+    within). Single-process (or CPU-sim) callers get a no-op. Returns
+    the global device count."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
+
+
+def make_host_chip_mesh(n_hosts: int | None = None,
+                        chips_per_host: int | None = None) -> Mesh:
+    """2-D ('host', 'chip') mesh. On a real slice the host axis rides
+    DCN and the chip axis ICI, so shardings that reduce along 'chip'
+    first keep the slow axis cold. Locally (or on the CPU-sim mesh) the
+    same axes partition jax.devices() — the simulated N-host split used
+    by tools/scaling_bench.py. Device order: jax.devices() is grouped by
+    process, so reshaping (hosts, chips) aligns rows with real hosts."""
+    devs = np.array(jax.devices())
+    if n_hosts is None:
+        n_hosts = max(1, jax.process_count())
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    devs = devs[: n_hosts * chips_per_host]
+    return Mesh(devs.reshape(n_hosts, chips_per_host),
+                (HOST_AXIS, CHIP_AXIS))
+
+
 def shard_rays(mesh: Mesh, *arrays):
-    """Place ray-batch arrays row-sharded over the mesh."""
-    sh = NamedSharding(mesh, P(RAY_AXIS))
+    """Place ray-batch arrays row-sharded over the mesh (1-D `rays` axis
+    or a 2-D ('host','chip') mesh — rays split over both axes jointly)."""
+    if HOST_AXIS in mesh.axis_names:
+        sh = NamedSharding(mesh, P((HOST_AXIS, CHIP_AXIS)))
+    else:
+        sh = NamedSharding(mesh, P(RAY_AXIS))
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
