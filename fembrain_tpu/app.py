@@ -158,6 +158,42 @@ class SimulationApp:
         data/opencl/Polygonizer.cl:1417-1426)."""
         return self.surface.verts + disp
 
+    def refit_rbf(self, max_points: int = 400, offset: float = 0.1):
+        """Fit a FastRBF to the CURRENT deformed surface so collision /
+        haptic queries see the deformed tissue, not the rest-pose
+        analytic field (reference RBF.h:51-136, trained from
+        ComputeOffSurfacePointsAndFields, OclPolygonizer.cpp /
+        Polygonizer.cl:1329-1350). Normals come from the deformed field's
+        autodiff gradient (render.deformed), so off-surface samples sit
+        on the true displaced offset surfaces. Returns (and stores) the
+        fitted FastRBF."""
+        from .ops.rbf import FastRBF, off_surface_samples
+        from .render.deformed import deformed_field, displacement_grid
+
+        q = self.deformable.state.q
+        disp = couple_surface_displacements(
+            self.surface.edge_nodes, self.surface.edge_t,
+            self._grid_to_node, q,
+        )
+        nv = int(self.surface.n_verts)
+        verts = np.asarray(self.surface.verts + disp)[:nv]
+        stride = max(1, nv // max_points)
+        verts = verts[::stride]
+
+        u_grid = displacement_grid(self.grid, self._grid_to_node, q)
+
+        def fp(p):
+            return deformed_field(self.scene, self.grid, u_grid, p[None])[0]
+
+        g = np.asarray(jax.vmap(jax.grad(fp))(jnp.asarray(verts)))
+        n = -g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+
+        pts, vals = off_surface_samples(verts, n, offset=offset)
+        rbf = FastRBF()
+        rbf.fit_greedy(pts, vals)
+        self.rbf = rbf
+        return rbf
+
     def render_frame(self, width=400, height=300):
         """Render the CURRENT (deformed) tissue: the sphere tracer sees
         the FEM displacement field, not just the rest-pose analytic scene

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..blob.scene import Scene
 from ..blob.types import OpType, PrimType
-from .warp import warp_point
+from .warp import warp_components, warp_point
 
 _BIG = 10.0  # reference's "far" squared distance for NULL prims
 
@@ -372,9 +372,10 @@ UNROLL_LIMIT = 96
 
 def supports_rows_fast_path(scene: Scene) -> bool:
     """Whether `field_rows` (the Pallas in-kernel evaluator) covers this
-    scene: no warp chains and a fold small enough to unroll."""
-    plain_warps = len(scene.warp_groups) == 1 and not scene.warp_groups[0][0]
-    return plain_warps and len(scene.schedule) <= UNROLL_LIMIT
+    scene: a fold small enough to unroll. Warp chains are handled
+    in-kernel (component-form warp_components), so blend+warp scenes —
+    BASELINE config #2 — get kernel speed too."""
+    return len(scene.schedule) <= UNROLL_LIMIT
 
 
 def rows_prim_fields(vt, pos_c, dir_c, res_c, type_col, present):
@@ -405,16 +406,52 @@ def field_rows(scene: Scene, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Ar
     (see supports_rows_fast_path).
     """
     assert supports_rows_fast_path(scene)
-    ph = jnp.concatenate([x, y, z, jnp.ones_like(x)], 0)  # [4, T]
-    vt = tuple(
-        jnp.dot(
-            scene.prim_mtx[:, i, :],
-            ph,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        for i in range(3)
-    )  # 3 x [P, T]
+    ones = jnp.ones_like(x)
+
+    def group_vt(wx, wy, wz):
+        ph = jnp.concatenate([wx, wy, wz, ones], 0)  # [4, T]
+        return tuple(
+            jnp.dot(
+                scene.prim_mtx[:, i, :],
+                ph,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for i in range(3)
+        )  # 3 x [P, T]
+
+    plain = len(scene.warp_groups) == 1 and not scene.warp_groups[0][0]
+    if plain:
+        vt = group_vt(x, y, z)
+    else:
+        # Warp groups: prims sharing a warp chain see the chain-warped
+        # point. Each group transforms from its own warped coordinates;
+        # rows are stitched by static group masks (groups are few).
+        import numpy as _np
+
+        vt = None
+        for chain, prim_idx in scene.warp_groups:
+            if not prim_idx:
+                continue
+            wx, wy, wz = x, y, z
+            for wire in chain:
+                k = wire.op_idx
+                p = tuple(
+                    scene.op_params[k : k + 1, i : i + 1] for i in range(4)
+                )
+                wx, wy, wz = warp_components(
+                    wire.wtype, p, wire.axis_a, wire.axis_b, wx, wy, wz
+                )
+            vt_g = group_vt(wx, wy, wz)
+            if vt is None and len(scene.warp_groups) == 1:
+                vt = vt_g
+            else:
+                m = _np.zeros((scene.capacity_prims, 1), bool)
+                m[list(prim_idx)] = True
+                mask = jnp.asarray(m)
+                vt = vt_g if vt is None else tuple(
+                    jnp.where(mask, vt_g[i], vt[i]) for i in range(3)
+                )
     # Keepdims slicing only — inside Mosaic, reshapes/unsqueezes are
     # unavailable, so all extractions stay 2-D.
     pos_c = tuple(scene.prim_pos[:, i : i + 1] for i in range(3))

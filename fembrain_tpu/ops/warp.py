@@ -7,8 +7,13 @@ implemented properly as Barr-style space deformations: evaluating a warped
 subtree at point ``v`` evaluates the subtree at ``warp_point(v)``, the
 *inverse* deformation applied to the query point.
 
-Written in jnp so the same code runs in the JAX evaluator and (via
-np.asarray on scalars) in the NumPy test oracle — one source of truth.
+Two entry points, ONE math implementation:
+  * ``warp_components`` — component (SoA) form on (x, y, z) planes of any
+    broadcastable shape. Strictly 2-D-safe, so it lowers inside Pallas
+    kernels (Mosaic has no 3-D vectors) — this is what puts BASELINE
+    config #2 (blend + warp) on the kernel fast path.
+  * ``warp_point`` — [..., 3] stacked wrapper used by the XLA evaluator
+    and (via np.asarray) the NumPy test oracle.
 
 Parameter layout (from the `.blob` parser, ReadSceneModel.cpp:373-425):
   twist:  params = (factor, axis, -, -)
@@ -29,72 +34,58 @@ def _axes_for(axis: int) -> tuple[int, int]:
     return ((1, 2), (2, 0), (0, 1))[axis]
 
 
+def warp_components(wtype: int, p, axis_a: int, axis_b: int, x, y, z):
+    """Apply the inverse deformation of one warp op to component planes.
+
+    x/y/z: coordinate arrays of any (matching/broadcastable) shape;
+    p: 4-tuple of broadcastable scalar parameters; wtype/axis_* static.
+    Returns the warped (x, y, z) tuple.
+    """
+    wtype = int(wtype)
+    comps = [x, y, z]
+    if wtype == int(OpType.WARP_TWIST):
+        a, b = _axes_for(axis_a)
+        ang = -p[0] * comps[axis_a]
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        va, vb = comps[a], comps[b]
+        comps[a] = c * va - s * vb
+        comps[b] = s * va + c * vb
+    elif wtype == int(OpType.WARP_TAPER):
+        s = 1.0 + p[0] * comps[axis_a]
+        safe = jnp.where(
+            jnp.abs(s) < 1e-6, jnp.sign(s) * 1e-6 + (s == 0) * 1e-6, s
+        )
+        comps[axis_b] = comps[axis_b] / safe
+    elif wtype == int(OpType.WARP_BEND):
+        k, center, lbound, rbound = p
+        xx, yy = comps[0], comps[1]
+        kk = jnp.where(jnp.abs(k) < 1e-8, 1e-8, k)
+        # Center of curvature of the forward bend.
+        cy = 1.0 / kk
+        xc = jnp.clip(xx, lbound, rbound)
+        # Inverse rotation angle about the curvature center.
+        theta = -kk * (xc - center)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        xr = c * (xx - center) - s * (yy - cy)
+        yr = s * (xx - center) + c * (yy - cy)
+        x2 = xr + center
+        y2 = yr + cy
+        # Outside the bend region the map is a rigid continuation; the
+        # clamped rotation above reduces to identity at theta(l/rbound).
+        small = jnp.abs(k) < 1e-8
+        comps[0] = jnp.where(small, xx, x2)
+        comps[1] = jnp.where(small, yy, y2)
+    elif wtype == int(OpType.WARP_SHEAR):
+        comps[axis_b] = comps[axis_b] - p[0] * comps[axis_a]
+    return tuple(comps)
+
+
 def warp_point(wtype: int, params, axis_a: int, axis_b: int, v):
     """Apply the inverse deformation of one warp op to query point(s).
 
-    v: [..., 3]; params: traced f32[4]; wtype/axis_* static ints.
-    axis_a/axis_b are the integer axis params cast to static ints.
-    """
-    wtype = int(wtype)
-    if wtype == int(OpType.WARP_TWIST):
-        return _twist(v, params[0], axis_a)
-    if wtype == int(OpType.WARP_TAPER):
-        return _taper(v, params[0], axis_a, axis_b)
-    if wtype == int(OpType.WARP_BEND):
-        return _bend(v, params[0], params[1], params[2], params[3])
-    if wtype == int(OpType.WARP_SHEAR):
-        return _shear(v, params[0], axis_a, axis_b)
-    return v
-
-
-def _set_axes(v, updates: dict[int, jnp.ndarray]):
-    cols = [updates.get(i, v[..., i]) for i in range(3)]
-    return jnp.stack(cols, axis=-1)
-
-
-def _twist(v, factor, axis: int):
-    """Untwist: rotate around `axis` by -factor * coordinate-along-axis."""
-    a, b = _axes_for(axis)
-    ang = -factor * v[..., axis]
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    va, vb = v[..., a], v[..., b]
-    return _set_axes(v, {a: c * va - s * vb, b: s * va + c * vb})
-
-
-def _taper(v, factor, base_axis: int, taper_axis: int):
-    """Untaper: divide the taper coordinate by s(t) = 1 + factor * t."""
-    s = 1.0 + factor * v[..., base_axis]
-    safe = jnp.where(jnp.abs(s) < 1e-6, jnp.sign(s) * 1e-6 + (s == 0) * 1e-6, s)
-    return _set_axes(v, {taper_axis: v[..., taper_axis] / safe})
-
-
-def _bend(v, rate, center, lbound, rbound):
-    """Inverse Barr bend along x into y (bend region [lbound, rbound]).
-
-    Forward bend maps the x-axis segment to an arc of curvature `rate`
-    centered at x = center. We apply the inverse map to the query point.
-    """
-    k = rate
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    kk = jnp.where(jnp.abs(k) < 1e-8, 1e-8, k)
-    # Center of curvature of the forward bend.
-    cy = 1.0 / kk
-    xc = jnp.clip(x, lbound, rbound)
-    # Inverse rotation angle about the curvature center.
-    theta = -kk * (xc - center)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    xr = c * (x - center) - s * (y - cy)
-    yr = s * (x - center) + c * (y - cy)
-    x2 = xr + center
-    y2 = yr + cy
-    # Outside the bend region the map is a rigid continuation; the clamped
-    # rotation above already reduces to identity at theta(lbound/rbound).
-    small = jnp.abs(k) < 1e-8
-    return _set_axes(v, {0: jnp.where(small, x, x2), 1: jnp.where(small, y, y2), 2: z})
-
-
-def _shear(v, factor, base_axis: int, shear_axis: int):
-    """Unshear: subtract factor * base coordinate from the shear coordinate."""
-    return _set_axes(
-        v, {shear_axis: v[..., shear_axis] - factor * v[..., base_axis]}
+    v: [..., 3]; params: traced f32[4]; wtype/axis_* static ints."""
+    p = tuple(params[i] for i in range(4))
+    x, y, z = warp_components(
+        wtype, p, axis_a, axis_b, v[..., 0], v[..., 1], v[..., 2]
     )
+    return jnp.stack([x, y, z], axis=-1)

@@ -395,8 +395,20 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
     tiles = n_pad // tile
 
     # March brackets in fused XLA (one pass over all rays), shared with
-    # the XLA tracer; the kernel just marches.
-    t_enter, t_exit, alive0 = prim_interval(scene, ro, rd)
+    # the XLA tracer; the kernel just marches. Warp scenes can't use the
+    # per-prim support boxes (unwarped boxes don't bound the warped
+    # field) — slab bracket like sphere_trace.trace.
+    if scene.can_cull:
+        t_enter, t_exit, alive0 = prim_interval(scene, ro, rd)
+    else:
+        from .sphere_trace import _ray_box
+
+        t_enter, t_exit = _ray_box(
+            ro, rd, scene.bbox_lo[None] - 0.05, scene.bbox_hi[None] + 0.05
+        )
+        alive0 = t_exit > t_enter
+        t_enter = jnp.where(alive0, t_enter, 0.0)
+        t_exit = jnp.where(alive0, t_exit, 0.0)
 
     def comp(a, i):  # [N,3] -> [tiles, 1, tile]
         return a[:, i].reshape(tiles, 1, tile)

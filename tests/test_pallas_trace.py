@@ -92,3 +92,36 @@ def test_additive_culled_path_matches_xla_brain():
     m = h1 & h2
     if m.any():
         assert np.abs(np.asarray(t1)[m] - np.asarray(t2)[m]).max() < 1e-4
+
+
+def test_warp_scene_on_kernel_fast_path():
+    """Blend+warp scenes (BASELINE config #2) now run in the kernel:
+    supports_rows_fast_path is true and the Pallas trace matches the XLA
+    tracer (warp math shared via ops.warp.warp_components)."""
+    from fembrain_tpu.blob.scene import OpDef, PrimDef, SceneDef
+    from fembrain_tpu.blob.types import OpType, PrimType
+
+    sc = SceneDef()
+    sc.add_prim(PrimDef(PrimType.POINT, pos=np.array([-0.4, 0.0, 0.0])))
+    sc.add_prim(PrimDef(PrimType.POINT, pos=np.array([0.4, 0.0, 0.0])))
+    blend = sc.add_op(OpDef(OpType.BLEND, left=0, right=1))
+    twist = sc.add_op(
+        OpDef(OpType.WARP_TWIST, left=blend, left_is_op=True, is_unary=True,
+              params=np.array([0.9, 0.0, 0.0, 0.0]))
+    )
+    sc.root_is_op, sc.root_idx = True, twist
+    scene = sc.pack()
+    assert len(scene.warp_groups[0][0]) == 1  # prims carry a warp chain
+    assert supports_rows_fast_path(scene)
+    assert not scene.is_additive  # warps forbid the additive cull path
+
+    cam = Camera.orbit(25, 20, 2.5)
+    ro, rd = generate_rays(cam, 40, 26)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    t1, h1 = trace(scene, ro, rd)
+    t2, h2 = trace_pallas(scene, ro, rd, interpret=True)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert h1.sum() > 20
+    assert (h1 == h2).mean() > 0.999
+    m = h1 & h2
+    assert np.abs(np.asarray(t1)[m] - np.asarray(t2)[m]).max() < 1e-4
