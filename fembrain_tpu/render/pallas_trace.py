@@ -75,7 +75,7 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
         def cond(s):
             return (s[6] < params.max_steps) & (jnp.sum(s[5]) > 0.0)
 
-        def body(s):
+        def step_once(s):
             t, f, t_prev, f_prev, found, alive, it = s
             if adaptive:
                 # Shared piecewise bound (sphere_trace.support_radius_bound)
@@ -98,6 +98,14 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 alive * (1.0 - crossed) * (1.0 - done),
                 it + 1,
             )
+
+        def body(s):
+            # Two masked sub-steps per while iteration: halves the
+            # tile-wide alive reduction + loop sync overhead. Updates are
+            # lane-masked, so outputs are bit-identical to single
+            # stepping (a tile finishing on the odd sub-step just runs
+            # one fully-masked extra eval).
+            return step_once(step_once(s))
 
         t, f, t_prev, f_prev, found, alive, _ = jax.lax.while_loop(
             cond, body, state
@@ -216,21 +224,17 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     # (brain: 20 point-only blocks + 1 point/cylinder block).
     block_types = scene.additive_block_types or None
 
+    # Real (non-padding) blocks: with per-block type metadata the padding
+    # tail is statically known; otherwise count conservatively.
+    if block_types is not None:
+        real_blocks = [b for b in range(n_blocks) if block_types[b]]
+    else:
+        real_blocks = list(range(n_blocks))
+
     def eval_f(t):
         px = ro[0] + t * rd[0]
         py = ro[1] + t * rd[1]
         pz = ro[2] + t * rd[2]
-        # Dynamic culling: the hull of the points actually being
-        # evaluated shrinks as rays march/refine, so blocks the static
-        # (whole-segment) test kept alive drop out step by step. Exact
-        # for evaluation — a prim whose support misses every current
-        # point contributes exactly 0.
-        hx_lo = jnp.min(jnp.where(hull_mask, px, 1e30))
-        hx_hi = jnp.max(jnp.where(hull_mask, px, -1e30))
-        hy_lo = jnp.min(jnp.where(hull_mask, py, 1e30))
-        hy_hi = jnp.max(jnp.where(hull_mask, py, -1e30))
-        hz_lo = jnp.min(jnp.where(hull_mask, pz, 1e30))
-        hz_hi = jnp.max(jnp.where(hull_mask, pz, -1e30))
 
         def block_field(o, types):
             # Local transform rows for this block: [B, T] coords via
@@ -251,6 +255,29 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
                 tuple(vt), pos_c, dir_c, res_c, type_col, types
             )
             return jnp.sum(pf, 0, keepdims=True)
+
+        if len(real_blocks) <= 4:
+            # Small scene: the per-block cond + 6 hull reductions cost
+            # more than just summing every block (a block whose support
+            # misses all points contributes exactly 0 — Wyvill compact
+            # support), so evaluate unconditionally. ~1.5x on ventricle.
+            f = jnp.zeros_like(px)
+            for b in real_blocks:
+                types = block_types[b] if block_types is not None else present
+                f = f + block_field(b * B, types)
+            return f - iso
+
+        # Dynamic culling: the hull of the points actually being
+        # evaluated shrinks as rays march/refine, so blocks the static
+        # (whole-segment) test kept alive drop out step by step. Exact
+        # for evaluation — a prim whose support misses every current
+        # point contributes exactly 0.
+        hx_lo = jnp.min(jnp.where(hull_mask, px, 1e30))
+        hx_hi = jnp.max(jnp.where(hull_mask, px, -1e30))
+        hy_lo = jnp.min(jnp.where(hull_mask, py, 1e30))
+        hy_hi = jnp.max(jnp.where(hull_mask, py, -1e30))
+        hz_lo = jnp.min(jnp.where(hull_mask, pz, 1e30))
+        hz_hi = jnp.max(jnp.where(hull_mask, pz, -1e30))
 
         def dyn_live(b):
             return (
@@ -528,28 +555,45 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
                        tile: int = TILE):
     """trace_pallas over a row-major H x W ray grid with block-coherent
     tiling: permutes rays into near-square pixel blocks (one block per
-    kernel tile), traces, and scatters results back to row-major order."""
-    import math
+    kernel tile), traces, and maps results back to row-major order.
 
-    import numpy as np
+    The permutation is pure pad + reshape + transpose — NOT a gather: a
+    2M-element gather costs ~40 ms/frame on TPU (≫ the 7 ms march)
+    because XLA lowers it to serialized dynamic slices, while a
+    [hb,bh,wb,bw] transpose is a fast vectorized copy. Same ray order as
+    block_permutation (kept for tests/tools)."""
+    import math
 
     bh = 1 << (int(math.log2(tile)) // 2)  # near-square: bh*bw == tile
     bw = tile // bh
-    perm = block_permutation(height, width, bh, bw)
-    live = perm >= 0
-    gather = jnp.asarray(np.where(live, perm, 0))
-    ro_b = jnp.where(jnp.asarray(live)[:, None], ro[gather], 1e7)
-    rd_b = jnp.where(
-        jnp.asarray(live)[:, None], rd[gather], jnp.asarray([1.0, 0.0, 0.0])
-    )
+    hb, wb = -(-height // bh), -(-width // bw)
+    ph, pw = hb * bh - height, wb * bw - width
+
+    def to_blocks(a, fill):
+        # [H*W, 3] row-major -> [hb*wb*bh*bw, 3] block-major.
+        img = a.reshape(height, width, 3)
+        img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)),
+                      constant_values=fill)
+        img = img.reshape(hb, bh, wb, bw, 3).transpose(0, 2, 1, 3, 4)
+        return img.reshape(-1, 3)
+
+    # Padding rays start far away pointing +x and miss everything (same
+    # convention as trace_pallas's tail padding).
+    ro_b = to_blocks(ro, 1e7)
+    rd_b = to_blocks(rd, 0.0)
+    if pw or ph:
+        # Padded direction rows must be non-degenerate: rebuild as +x.
+        mask = to_blocks(jnp.ones_like(ro), 0.0)[:, :1] > 0.5
+        rd_b = jnp.where(mask, rd_b, jnp.asarray([1.0, 0.0, 0.0]))
     t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret,
                               tile_cond=tile_cond, tile=tile)
-    # Unpack via the INVERSE permutation (a gather): a scatter here would
-    # serialize on TPU and cost more than the whole march saves.
-    inv = np.empty(height * width, np.int64)
-    inv[perm[live]] = np.nonzero(live)[0]
-    inv_j = jnp.asarray(inv)
-    return t_b[inv_j], hit_b[inv_j]
+
+    def from_blocks(a):
+        img = a.reshape(hb, wb, bh, bw).transpose(0, 2, 1, 3)
+        img = img.reshape(hb * bh, wb * bw)[:height, :width]
+        return img.reshape(-1)
+
+    return from_blocks(t_b), from_blocks(hit_b)
 
 
 def trace_fast(scene: Scene, ro: jax.Array, rd: jax.Array,
