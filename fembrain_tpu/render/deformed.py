@@ -229,6 +229,255 @@ def render_deformed(scene: Scene, grid: GridSpec, grid_to_node: jax.Array,
     return rgb.reshape(height, width, 3)
 
 
+# --------------------------------------------------------------------------
+# Fast coupled path: RBF-interpolated displacement field.
+#
+# The exact trilinear embedding above costs ~32 grid GATHERS per field
+# evaluation (8 corners x 4 fixed-point iterations); XLA lowers gathers on
+# TPU to serialized dynamic slices, making the coupled march ~seconds per
+# frame. The reference's own answer to "query the field after deformation"
+# is FastRBF (src/implicit/RBF.h:51-136). Here the RBF interpolates the
+# DISPLACEMENT u(x) from a static subset of FEM nodes: the saddle system
+# is factored once per mesh (static A_inv), so per-frame weights are one
+# matmul — linear and differentiable in the FEM state q — and evaluation
+# is a dense [N, M] distance matrix + matvec: pure MXU/VPU work, no
+# gathers. ~2 orders of magnitude faster at 1080p.
+# --------------------------------------------------------------------------
+
+DISP_CENTERS = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DispInterp:
+    """Static displacement-interpolation operator for one FEM mesh."""
+    centers: jax.Array       # [M, 3] world positions of the chosen nodes
+    center_nodes: jax.Array  # [M] int32 FEM node ids
+    a_inv: jax.Array         # [M+4, M+4] inverse of the biharmonic saddle
+                             #   system [[phi, P], [P^T, 0]], P = [1, x]
+
+
+def build_disp_interp(nodes, n_centers: int = DISP_CENTERS,
+                      fixed=None) -> DispInterp:
+    """Farthest-point-sample `n_centers` FEM nodes and factor the
+    biharmonic interpolation system (host-side, once per mesh topology).
+    Including fixed nodes pins u = 0 at anchors automatically (their q
+    rows are zero)."""
+    import numpy as np
+
+    nodes = np.asarray(nodes, np.float64)
+    n = len(nodes)
+    m = min(n_centers, n)
+    # Farthest-point sampling for even coverage.
+    sel = [0]
+    d = np.linalg.norm(nodes - nodes[0], axis=-1)
+    for _ in range(m - 1):
+        i = int(np.argmax(d))
+        sel.append(i)
+        d = np.minimum(d, np.linalg.norm(nodes - nodes[i], axis=-1))
+    idx = np.asarray(sel, np.int64)
+    c = nodes[idx]
+    phi = np.linalg.norm(c[:, None] - c[None], axis=-1)
+    p = np.concatenate([np.ones((m, 1)), c], 1)  # [M, 4]
+    a = np.zeros((m + 4, m + 4))
+    a[:m, :m] = phi + 1e-9 * np.eye(m)
+    a[:m, m:] = p
+    a[m:, :m] = p.T
+    a_inv = np.linalg.inv(a)
+    return DispInterp(
+        centers=jnp.asarray(c, jnp.float32),
+        center_nodes=jnp.asarray(idx, jnp.int32),
+        a_inv=jnp.asarray(a_inv, jnp.float32),
+    )
+
+
+def disp_weights(interp: DispInterp, q: jax.Array):
+    """Per-frame RBF weights from the FEM state: [M+4, 3] = A_inv @ rhs.
+    Linear in q, so gradients flow through to material parameters."""
+    u_c = q[interp.center_nodes]                      # [M, 3] (one gather
+    rhs = jnp.concatenate([u_c, jnp.zeros((4, 3), q.dtype)], 0)  # of M rows)
+    return interp.a_inv @ rhs                         # [M+4, 3]
+
+
+def sample_disp_rbf(interp: DispInterp, w: jax.Array,
+                    pts: jax.Array) -> jax.Array:
+    """u(x) = sum_k w_k |x - c_k| + a + B x  at [N, 3] points (dense)."""
+    m = interp.centers.shape[0]
+    d = jnp.sqrt(jnp.maximum(
+        jnp.sum((pts[:, None] - interp.centers[None]) ** 2, -1), 1e-24
+    ))                                                # [N, M]
+    u = d @ w[:m]                                     # [N, 3]
+    u = u + w[m] + pts @ w[m + 1:]
+    return u
+
+
+def disp_lipschitz(interp: DispInterp, w: jax.Array) -> jax.Array:
+    """Upper bound on |grad u|: each |x-c_k| is 1-Lipschitz, so
+    L <= sum_k |w_k|_2 + |B|_F. A traced scalar (used in step sizes only,
+    never in control flow)."""
+    m = interp.centers.shape[0]
+    return (
+        jnp.sum(jnp.sqrt(jnp.sum(w[:m] ** 2, -1)))
+        + jnp.sqrt(jnp.sum(w[m + 1:] ** 2))
+    )
+
+
+def pull_back_rbf(interp: DispInterp, w: jax.Array, y: jax.Array,
+                  iters: int = FIXED_POINT_ITERS) -> jax.Array:
+    """Invert phi(x) = x + u(x) with u from the RBF interpolant."""
+    x = y
+    for _ in range(iters):
+        x = y - sample_disp_rbf(interp, w, x)
+    return x
+
+
+def deformed_field_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
+                       y: jax.Array) -> jax.Array:
+    return field(scene, pull_back_rbf(interp, w, y))
+
+
+def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
+                       ro: jax.Array, rd: jax.Array,
+                       params: TraceParams = TraceParams(),
+                       max_disp: float = 0.5):
+    """Sphere-trace the RBF-deformed field with ADAPTIVE stepping.
+
+    The rest-field support bound r(f) maps through phi: |phi(a) - phi(b)|
+    >= (1 - L)|a - b| for displacement Lipschitz constant L < 1, so a
+    conservative world step in deformed space is the rest-space step
+    scaled by (1 - L). L is a traced per-frame scalar (disp_lipschitz),
+    clamped so pathological fits degrade to fixed stepping, not misses.
+    """
+    from .sphere_trace import support_radius_bound
+
+    from .sphere_trace import prim_interval
+
+    iso = params.iso
+    lo = scene.bbox_lo - 0.05 - max_disp
+    hi = scene.bbox_hi + 0.05 + max_disp
+    if scene.can_cull:
+        # Deformed support: phi moves points at most max_disp, so the
+        # rest-field support boxes inflated by max_disp bound the
+        # deformed field's support — tight per-ray brackets + dead-ray
+        # culling survive deformation.
+        t_enter, t_exit, alive0 = prim_interval(
+            scene, ro, rd, margin=0.05 + max_disp
+        )
+    else:
+        t_enter, t_exit = _ray_box(ro, rd, lo[None], hi[None])
+        alive0 = t_exit > t_enter
+        t_enter = jnp.where(alive0, t_enter, 0.0)
+        t_exit = jnp.where(alive0, t_exit, 0.0)
+
+    diag = jnp.linalg.norm(hi - lo)
+    base_step = diag * params.step_frac
+    r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
+    adaptive = scene.monotone_field
+    inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
+    shrink = jnp.clip(
+        1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
+    )
+
+    def eval_f(t):
+        return deformed_field_rbf(
+            scene, interp, w, ro + t[:, None] * rd
+        ) - iso
+
+    def step_size(f):
+        if not adaptive:
+            return base_step
+        r = support_radius_bound(f)
+        return jnp.maximum(
+            base_step, 0.95 * (r - r_iso) * inv_stretch * shrink
+        )
+
+    f0 = eval_f(t_enter)
+    state = dict(
+        t=t_enter, f=f0, t_prev=t_enter, f_prev=f0,
+        found=(f0 >= 0.0) & alive0,
+        alive=alive0 & (f0 < 0.0),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["it"] < params.max_steps) & jnp.any(s["alive"])
+
+    def body(s):
+        t_new = jnp.minimum(s["t"] + step_size(s["f"] + iso), t_exit)
+        f_new = eval_f(t_new)
+        crossed = s["alive"] & (f_new >= 0.0)
+        done = s["alive"] & (t_new >= t_exit) & (f_new < 0.0)
+        return dict(
+            t=jnp.where(s["alive"], t_new, s["t"]),
+            f=jnp.where(s["alive"], f_new, s["f"]),
+            t_prev=jnp.where(s["alive"], s["t"], s["t_prev"]),
+            f_prev=jnp.where(s["alive"], s["f"], s["f_prev"]),
+            found=s["found"] | crossed,
+            alive=s["alive"] & ~crossed & ~done,
+            it=s["it"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    found = s["found"]
+
+    def bis_body(_, st):
+        a, b, fa, fb = st
+        m = 0.5 * (a + b)
+        fm = eval_f(m)
+        neg = fm < 0.0
+        return (
+            jnp.where(neg, m, a), jnp.where(neg, b, m),
+            jnp.where(neg, fm, fa), jnp.where(neg, fb, fm),
+        )
+
+    a, b, fa, fb = jax.lax.fori_loop(
+        0, params.bisect_steps, bis_body,
+        (s["t_prev"], s["t"], s["f_prev"], s["f"]),
+    )
+    denom = fb - fa
+    t_sec = a - fa * (b - a) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t_root = jnp.where(jnp.abs(denom) < 1e-9, 0.5 * (a + b), t_sec)
+    t_root = jnp.where(found, t_root, t_exit)
+
+    # Implicit differentiation at the root (same scheme as trace_deformed).
+    t0 = jax.lax.stop_gradient(t_root)
+    x0 = ro + t0[:, None] * rd
+
+    def f_point(p):
+        return deformed_field_rbf(scene, interp, w, p[None])[0]
+
+    g = jax.vmap(jax.grad(f_point))(x0)
+    dfdt = jnp.sum(g * rd, -1)
+    dfdt = jax.lax.stop_gradient(
+        jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
+    )
+    f_at = deformed_field_rbf(scene, interp, w, x0) - iso
+    t_hit = t0 - jnp.clip(f_at / dfdt, -0.5 * base_step, 0.5 * base_step)
+    t_hit = jnp.where(found, t_hit, t_exit)
+    return t_hit, found
+
+
+def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
+                      state, f_ext: jax.Array,
+                      ro: jax.Array, rd: jax.Array,
+                      h: float = 0.0333,
+                      E_scale: jax.Array | float = 1.0,
+                      params: TraceParams = TraceParams()):
+    """North-star step on the fast path: force -> implicit FEM solve ->
+    RBF displacement weights (one matmul) -> adaptive deformed trace.
+    Same differentiable structure as coupled_step; the displacement field
+    is the RBF interpolant instead of the trilinear grid embedding."""
+    from ..fem import integrator as integ
+
+    mesh2 = dataclasses.replace(fem_mesh, ke=fem_mesh.ke * E_scale)
+    new_state, _ = integ.timestep(
+        mesh2, state, f_ext, h=h, differentiable=True
+    )
+    w = disp_weights(interp, new_state.q)
+    t, hit = trace_deformed_rbf(scene, interp, w, ro, rd, params)
+    return t, hit, new_state
+
+
 def coupled_step(scene: Scene, fem_mesh, grid: GridSpec,
                  grid_to_node: jax.Array, state, f_ext: jax.Array,
                  ro: jax.Array, rd: jax.Array,
