@@ -457,16 +457,106 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
     return t_hit, found
 
 
+def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
+                            ro: jax.Array, rd: jax.Array,
+                            params: TraceParams = TraceParams(),
+                            max_disp: float = 0.5,
+                            image_hw: tuple[int, int] | None = None,
+                            interpret: bool = False):
+    """RBF-deformed sphere trace at Pallas tile speed.
+
+    The forward march runs inside the additive Pallas kernel with the
+    fixed-point pull-back fused in (pallas_trace._pull_back_rows):
+    distances to the M RBF centers are one [M, T] VPU matrix + a
+    [3, M]x[M, T] MXU contraction per iteration — VMEM-resident, with the
+    kernel's tile early-out and rest-space prim-block culling intact.
+    Gradients are exact: the kernel output is consumed under an explicit
+    zero-cotangent VJP and the differentiable implicit-hit correction is
+    applied outside against the XLA deformed field (same scheme as
+    pallas_trace.trace_fast). image_hw enables the block-coherent pixel
+    permutation for row-major H x W ray grids. Falls back to the XLA
+    tracer off the additive fast path (warps, huge op counts, CPU)."""
+    from ..ops.field import supports_rows_fast_path
+    from .pallas_trace import (
+        PRIM_BLOCK, trace_pallas, trace_pallas_image,
+    )
+
+    fast_ok = (
+        scene.is_additive
+        and scene.capacity_prims % PRIM_BLOCK == 0
+        and supports_rows_fast_path(scene)
+    )
+    if not fast_ok:
+        return trace_deformed_rbf(scene, interp, w, ro, rd, params, max_disp)
+
+    shrink = jnp.clip(
+        1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
+    )
+
+    @jax.custom_vjp
+    def raw(scene_, w_, ro_, rd_):
+        disp = (interp.centers, w_, shrink, max_disp, FIXED_POINT_ITERS)
+        if image_hw is not None:
+            return trace_pallas_image(
+                scene_, ro_, rd_, image_hw[0], image_hw[1], params,
+                interpret=interpret, disp=disp,
+            )
+        return trace_pallas(
+            scene_, ro_, rd_, params, interpret=interpret, disp=disp
+        )
+
+    def raw_fwd(scene_, w_, ro_, rd_):
+        return raw(scene_, w_, ro_, rd_), None
+
+    def raw_bwd(_, g):
+        zero_scene = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating
+            ) else jnp.zeros(jnp.shape(x), jax.dtypes.float0),
+            scene,
+        )
+        return (zero_scene, jnp.zeros_like(w),
+                jnp.zeros_like(ro), jnp.zeros_like(rd))
+
+    raw.defvjp(raw_fwd, raw_bwd)
+    t_root, found = raw(scene, w, ro, rd)
+
+    # Implicit differentiation at the root (matches trace_deformed_rbf).
+    iso = params.iso
+    lo = scene.bbox_lo - 0.05 - max_disp
+    hi = scene.bbox_hi + 0.05 + max_disp
+    base_step = jnp.linalg.norm(hi - lo) * params.step_frac
+    t0 = jax.lax.stop_gradient(t_root)
+    x0 = ro + t0[:, None] * rd
+
+    def f_point(p):
+        return deformed_field_rbf(scene, interp, w, p[None])[0]
+
+    g = jax.vmap(jax.grad(f_point))(x0)
+    dfdt = jnp.sum(g * rd, -1)
+    dfdt = jax.lax.stop_gradient(
+        jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
+    )
+    f_at = deformed_field_rbf(scene, interp, w, x0) - iso
+    t_hit = t0 - jnp.clip(f_at / dfdt, -0.5 * base_step, 0.5 * base_step)
+    t_hit = jnp.where(found, t_hit, t0)
+    return t_hit, found
+
+
 def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
                       state, f_ext: jax.Array,
                       ro: jax.Array, rd: jax.Array,
                       h: float = 0.0333,
                       E_scale: jax.Array | float = 1.0,
-                      params: TraceParams = TraceParams()):
+                      params: TraceParams = TraceParams(),
+                      image_hw: tuple[int, int] | None = None,
+                      use_pallas: bool | None = None):
     """North-star step on the fast path: force -> implicit FEM solve ->
     RBF displacement weights (one matmul) -> adaptive deformed trace.
     Same differentiable structure as coupled_step; the displacement field
-    is the RBF interpolant instead of the trilinear grid embedding."""
+    is the RBF interpolant instead of the trilinear grid embedding.
+    use_pallas (default: auto — TPU backend only) marches inside the
+    Pallas kernel via trace_deformed_rbf_fast."""
     from ..fem import integrator as integ
 
     mesh2 = dataclasses.replace(fem_mesh, ke=fem_mesh.ke * E_scale)
@@ -474,7 +564,14 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
         mesh2, state, f_ext, h=h, differentiable=True
     )
     w = disp_weights(interp, new_state.q)
-    t, hit = trace_deformed_rbf(scene, interp, w, ro, rd, params)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        t, hit = trace_deformed_rbf_fast(
+            scene, interp, w, ro, rd, params, image_hw=image_hw
+        )
+    else:
+        t, hit = trace_deformed_rbf(scene, interp, w, ro, rd, params)
     return t, hit, new_state
 
 

@@ -185,14 +185,57 @@ def _trace_kernel(scene: Scene, params: TraceParams, tile_cond: bool, *args):
     hit_out[0] = found
 
 
+def _pull_back_rows(cen, wr, waff, px, py, pz, iters: int):
+    """In-kernel inverse deformation map: x <- y - u(x), u the biharmonic
+    RBF displacement interpolant (render.deformed.sample_disp_rbf in row
+    layout). cen [M,3] centers, wr [3,M] RBF weights, waff [3,4] affine
+    part (column 0 constant, 1:4 linear). px/py/pz are [1,T] deformed
+    points; returns the rest-space rows. Distances form an [M,T] matrix
+    (VPU) and the weight contraction is a [3,M]x[M,T] matmul (MXU) — no
+    gathers, which is the whole point vs the trilinear grid embedding."""
+    cx = cen[:, 0:1]
+    cy = cen[:, 1:2]
+    cz = cen[:, 2:3]
+    w = wr[...]
+    xx, yy, zz = px, py, pz
+    for _ in range(iters):
+        dx = xx - cx
+        dy = yy - cy
+        dz = zz - cz
+        d = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        u = jnp.dot(
+            w, d,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [3, T]
+        ux = (waff[0:1, 0:1] + waff[0:1, 1:2] * xx
+              + waff[0:1, 2:3] * yy + waff[0:1, 3:4] * zz + u[0:1])
+        uy = (waff[1:2, 0:1] + waff[1:2, 1:2] * xx
+              + waff[1:2, 2:3] * yy + waff[1:2, 3:4] * zz + u[1:2])
+        uz = (waff[2:3, 0:1] + waff[2:3, 1:2] * xx
+              + waff[2:3, 2:3] * yy + waff[2:3, 3:4] * zz + u[2:3])
+        xx = px - ux
+        yy = py - uy
+        zz = pz - uz
+    return xx, yy, zz
+
+
 def _trace_kernel_additive(scene: Scene, params: TraceParams,
-                           tile_cond: bool, n_blocks: int, *args):
+                           tile_cond: bool, n_blocks: int, fp_iters: int,
+                           *args):
     """Additive-scene kernel: field = sum of prim fields, evaluated per
     PRIM_BLOCK with whole blocks skipped when the tile's ray hull misses
     the block's support AABB (live flags precomputed in XLA). The Morton
     prim ordering (see _additive_layout) makes live blocks few and dense.
     This is the TPU analog of the reference's kd-tree prim culling
-    (src/implicit/KDTree.h:95) for the dominant blobby-sum scenes."""
+    (src/implicit/KDTree.h:95) for the dominant blobby-sum scenes.
+
+    With fp_iters > 0 the kernel traces the RBF-DEFORMED field (north-star
+    coupling, render.deformed): march points are pulled back to rest space
+    in-kernel before the prim evaluation, so the hull culling tests rest
+    points against rest-space support boxes — exact under deformation."""
+    if fp_iters:
+        (cen, wr, waff, *args) = args
     (live, boxes, stretch, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
      rox, roy, roz, rdx, rdy, rdz, ten, tex, alv,
      t_out, hit_out) = args
@@ -235,6 +278,10 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
         px = ro[0] + t * rd[0]
         py = ro[1] + t * rd[1]
         pz = ro[2] + t * rd[2]
+        if fp_iters:
+            px, py, pz = _pull_back_rows(
+                cen, wr, waff, px, py, pz, fp_iters
+            )
 
         def block_field(o, types):
             # Local transform rows for this block: [B, T] coords via
@@ -406,9 +453,24 @@ def _tile_block_live(ro, rd, t_enter, t_exit, alive, tiles, blk_lo, blk_hi):
 def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                  params: TraceParams = TraceParams(),
                  interpret: bool = False, tile_cond: bool = True,
-                 tile: int = TILE):
-    """Forward sphere trace via the Pallas tile kernel (raw hit params)."""
+                 tile: int = TILE, disp=None):
+    """Forward sphere trace via the Pallas tile kernel (raw hit params).
+
+    disp — optional RBF displacement spec for the deformed-field trace
+    (north-star coupling): (centers [M,3], w [M+4,3] biharmonic weights,
+    shrink traced-scalar = clamp(1 - Lipschitz(u)), max_disp static float,
+    fp_iters static int). Requires the additive fast path (the caller —
+    render.deformed.trace_deformed_rbf_fast — falls back otherwise)."""
     from .sphere_trace import prim_interval
+
+    if disp is not None:
+        assert scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0
+        centers, w_rbf, shrink, max_disp, fp_iters = disp
+        bracket_margin = 0.05 + max_disp
+    else:
+        bracket_margin = 0.05
+        max_disp = 0.0
+        fp_iters = 0
 
     n = ro.shape[0]
     n_pad = -(-n // tile) * tile
@@ -426,12 +488,16 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
     # per-prim support boxes (unwarped boxes don't bound the warped
     # field) — slab bracket like sphere_trace.trace.
     if scene.can_cull:
-        t_enter, t_exit, alive0 = prim_interval(scene, ro, rd)
+        t_enter, t_exit, alive0 = prim_interval(
+            scene, ro, rd, margin=bracket_margin
+        )
     else:
         from .sphere_trace import _ray_box
 
         t_enter, t_exit = _ray_box(
-            ro, rd, scene.bbox_lo[None] - 0.05, scene.bbox_hi[None] + 0.05
+            ro, rd,
+            scene.bbox_lo[None] - bracket_margin,
+            scene.bbox_hi[None] + bracket_margin,
         )
         alive0 = t_exit > t_enter
         t_enter = jnp.where(alive0, t_enter, 0.0)
@@ -454,8 +520,13 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
     if scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0:
         # Additive fast path: Morton-ordered prims + per-tile block culls.
         prim_args, blk_lo, blk_hi, blk_stretch, nb = _additive_layout(scene)
+        # Deformed trace: the static live test sees the DEFORMED-space
+        # segment hull, so rest-space block boxes get the max-displacement
+        # inflation; the in-kernel dynamic cull pulls points back first
+        # and tests rest hulls against the exact rest boxes.
         live = _tile_block_live(
-            ro, rd, t_enter, t_exit, alive0, tiles, blk_lo, blk_hi
+            ro, rd, t_enter, t_exit, alive0, tiles,
+            blk_lo - max_disp, blk_hi + max_disp,
         )
         # Per-tile stretch over statically-live blocks (0 where no block
         # is live — tile skipped anyway; floor keeps 1/x finite).
@@ -465,6 +536,11 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         tile_inv_stretch = (
             1.0 / jnp.maximum(tile_stretch, 1e-6)
         )[:, None, None].astype(jnp.float32)
+        if disp is not None:
+            # Deformed step bound: |phi(a)-phi(b)| >= (1-L)|a-b|, so the
+            # rest-space support step shrinks by the traced (1-L) factor
+            # (see render.deformed.trace_deformed_rbf).
+            tile_inv_stretch = tile_inv_stretch * shrink
         boxes = jnp.concatenate([blk_lo, blk_hi], -1)  # [nb, 6]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -481,15 +557,27 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
         ]
+        disp_args, disp_specs = [], []
+        if disp is not None:
+            m = centers.shape[0]
+            # Row layouts for the kernel: weights transposed [3, M]; the
+            # affine tail packed [3, 4] (column 0 = constant, 1:4 = B^T).
+            disp_args = [
+                centers.astype(jnp.float32),
+                w_rbf[:m].T.astype(jnp.float32),
+                w_rbf[m:].T.astype(jnp.float32),
+            ]
+            disp_specs = [vmem] * 3
         t_tiles, hit_tiles = pl.pallas_call(
-            partial(_trace_kernel_additive, scene, params, tile_cond, nb),
+            partial(_trace_kernel_additive, scene, params, tile_cond, nb,
+                    fp_iters),
             grid=(tiles,),
-            in_specs=[live_spec, smem_full, stretch_spec]
+            in_specs=disp_specs + [live_spec, smem_full, stretch_spec]
             + [vmem] * len(prim_args) + [ray_spec_] * 9,
             out_specs=[ray_spec_, ray_spec_],
             out_shape=out_shape_,
             interpret=interpret,
-        )(live, boxes, tile_inv_stretch, *prim_args, *ray_args)
+        )(*disp_args, live, boxes, tile_inv_stretch, *prim_args, *ray_args)
         t = t_tiles.reshape(-1)[:n]
         hit = hit_tiles.reshape(-1)[:n] > 0.5
         return t, hit
@@ -552,7 +640,7 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
                        height: int, width: int,
                        params: TraceParams = TraceParams(),
                        interpret: bool = False, tile_cond: bool = True,
-                       tile: int = TILE):
+                       tile: int = TILE, disp=None):
     """trace_pallas over a row-major H x W ray grid with block-coherent
     tiling: permutes rays into near-square pixel blocks (one block per
     kernel tile), traces, and maps results back to row-major order.
@@ -586,7 +674,7 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
         mask = to_blocks(jnp.ones_like(ro), 0.0)[:, :1] > 0.5
         rd_b = jnp.where(mask, rd_b, jnp.asarray([1.0, 0.0, 0.0]))
     t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret,
-                              tile_cond=tile_cond, tile=tile)
+                              tile_cond=tile_cond, tile=tile, disp=disp)
 
     def from_blocks(a):
         img = a.reshape(hb, wb, bh, bw).transpose(0, 2, 1, 3)
