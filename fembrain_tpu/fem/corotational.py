@@ -15,6 +15,13 @@ import jax.numpy as jnp
 
 from .tetmesh import FemMesh
 
+# Every einsum that feeds the CG operator must run in f32 on the MXU:
+# the TPU default (bf16 multiply) perturbs K_eff by ~0.4% relative,
+# which breaks the operator's effective symmetry/definiteness and makes
+# CG diverge to inf at production mesh sizes (61k-tet ventricle; found
+# round 3 — the round-2 coupled profile was silently NaN).
+_F32 = jax.lax.Precision.HIGHEST
+
 
 def _inv3(m):
     """Batched 3x3 inverse via adjugate (differentiable, no LU)."""
@@ -60,7 +67,7 @@ def element_kinematics(mesh: FemMesh, u: jax.Array):
     x = mesh.rest + u
     p = x[mesh.tets]                                  # [T,4,3]
     ds = jnp.swapaxes(p[:, 1:] - p[:, :1], 1, 2)      # [T,3,3]
-    F = jnp.einsum("tij,tjk->tik", ds, mesh.inv_dm)
+    F = jnp.einsum("tij,tjk->tik", ds, mesh.inv_dm, precision=_F32)
     return p, polar_rotation(F)
 
 
@@ -88,8 +95,8 @@ def rotated_stiffness(mesh: FemMesh, R: jax.Array) -> jax.Array:
     this once per timestep turns the per-iteration matvec into a single
     batched 12x12 product (vs 3 einsums in stiffness_apply)."""
     keb = mesh.ke.reshape(-1, 4, 3, 4, 3)
-    tmp = jnp.einsum("tap,tjpkq->tjakq", R, keb)
-    krot = jnp.einsum("tjakq,tbq->tjakb", tmp, R)
+    tmp = jnp.einsum("tap,tjpkq->tjakq", R, keb, precision=_F32)
+    krot = jnp.einsum("tjakq,tbq->tjakb", tmp, R, precision=_F32)
     return krot.reshape(-1, 12, 12)
 
 
@@ -116,23 +123,23 @@ def stiffness_diag(mesh: FemMesh, R: jax.Array) -> jax.Array:
     keb = mesh.ke.reshape(T, 4, 3, 4, 3)
     # only the j==j' corner blocks contribute to the diagonal
     kjj = jnp.stack([keb[:, j, :, j, :] for j in range(4)], 1)  # [T,4,3,3]
-    d = jnp.einsum("tab,tjbc,tac->tja", R, kjj, R)              # [T,4,3]
+    d = jnp.einsum("tab,tjbc,tac->tja", R, kjj, R, precision=_F32)              # [T,4,3]
     return _scatter_nodes(mesh, d)
 
 
 def _ke_apply(ke, v12):
-    return jnp.einsum("tij,tj->ti", ke, v12)
+    return jnp.einsum("tij,tj->ti", ke, v12, precision=_F32)
 
 
 def _block_apply(R, v12):
     """Apply blockdiag(R,R,R,R) to [T,12]."""
     v = v12.reshape(-1, 4, 3)
-    return jnp.einsum("tab,tjb->tja", R, v).reshape(-1, 12)
+    return jnp.einsum("tab,tjb->tja", R, v, precision=_F32).reshape(-1, 12)
 
 
 def _blockT_apply(R, v12):
     v = v12.reshape(-1, 4, 3)
-    return jnp.einsum("tba,tjb->tja", R, v).reshape(-1, 12)
+    return jnp.einsum("tba,tjb->tja", R, v, precision=_F32).reshape(-1, 12)
 
 
 def _scatter_nodes(mesh: FemMesh, fe) -> jax.Array:

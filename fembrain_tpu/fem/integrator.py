@@ -157,7 +157,8 @@ def timestep(
     inv_blocks = co._inv3(blocks)
 
     def prec(r):
-        return jnp.einsum("nab,nb->na", inv_blocks, r)
+        return jnp.einsum("nab,nb->na", inv_blocks, r,
+                          precision=jax.lax.Precision.HIGHEST)
 
     if differentiable:
         # No warm start here: custom_linear_solve reuses `solve` for the

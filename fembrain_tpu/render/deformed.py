@@ -255,18 +255,34 @@ class DispInterp:
     center_nodes: jax.Array  # [M] int32 FEM node ids
     a_inv: jax.Array         # [M+4, M+4] inverse of the biharmonic saddle
                              #   system [[phi, P], [P^T, 0]], P = [1, x]
+    fill_dist: jax.Array     # [] farthest node-to-nearest-center distance
+                             #   (feeds max_disp_bound telemetry)
 
 
-def build_disp_interp(nodes, n_centers: int = DISP_CENTERS,
+def adaptive_centers(n_nodes: int) -> int:
+    """Center count scaled to mesh size: ~cbrt growth so the center
+    spacing tracks the node spacing (u is smooth at the elastic length
+    scale, not the node scale), clamped to [64, 512] and rounded to a
+    multiple of 8 for kernel-friendly shapes. 128 (the round-2 fixed
+    default) at ~14k nodes, 256 at ~110k, capped 512 at ~900k."""
+    import math
+
+    m = int(16 * round(n_nodes ** (1.0 / 3.0) / 3.0))
+    return max(64, min(512, (m + 7) // 8 * 8))
+
+
+def build_disp_interp(nodes, n_centers: int | None = None,
                       fixed=None) -> DispInterp:
     """Farthest-point-sample `n_centers` FEM nodes and factor the
     biharmonic interpolation system (host-side, once per mesh topology).
-    Including fixed nodes pins u = 0 at anchors automatically (their q
-    rows are zero)."""
+    n_centers=None picks adaptive_centers(len(nodes)). Including fixed
+    nodes pins u = 0 at anchors automatically (their q rows are zero)."""
     import numpy as np
 
     nodes = np.asarray(nodes, np.float64)
     n = len(nodes)
+    if n_centers is None:
+        n_centers = adaptive_centers(n)
     m = min(n_centers, n)
     # Farthest-point sampling for even coverage.
     sel = [0]
@@ -276,6 +292,7 @@ def build_disp_interp(nodes, n_centers: int = DISP_CENTERS,
         sel.append(i)
         d = np.minimum(d, np.linalg.norm(nodes - nodes[i], axis=-1))
     idx = np.asarray(sel, np.int64)
+    fill = float(np.max(d))
     c = nodes[idx]
     phi = np.linalg.norm(c[:, None] - c[None], axis=-1)
     p = np.concatenate([np.ones((m, 1)), c], 1)  # [M, 4]
@@ -288,6 +305,7 @@ def build_disp_interp(nodes, n_centers: int = DISP_CENTERS,
         centers=jnp.asarray(c, jnp.float32),
         center_nodes=jnp.asarray(idx, jnp.int32),
         a_inv=jnp.asarray(a_inv, jnp.float32),
+        fill_dist=jnp.asarray(fill, jnp.float32),
     )
 
 
@@ -332,14 +350,16 @@ def pull_back_rbf(interp: DispInterp, w: jax.Array, y: jax.Array,
 
 
 def deformed_field_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
-                       y: jax.Array) -> jax.Array:
-    return field(scene, pull_back_rbf(interp, w, y))
+                       y: jax.Array,
+                       iters: int = FIXED_POINT_ITERS) -> jax.Array:
+    return field(scene, pull_back_rbf(interp, w, y, iters))
 
 
 def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
                        ro: jax.Array, rd: jax.Array,
                        params: TraceParams = TraceParams(),
-                       max_disp: float = 0.5):
+                       max_disp: float = 0.5,
+                       fp_iters: int = FIXED_POINT_ITERS):
     """Sphere-trace the RBF-deformed field with ADAPTIVE stepping.
 
     The rest-field support bound r(f) maps through phi: |phi(a) - phi(b)|
@@ -380,7 +400,7 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
 
     def eval_f(t):
         return deformed_field_rbf(
-            scene, interp, w, ro + t[:, None] * rd
+            scene, interp, w, ro + t[:, None] * rd, fp_iters
         ) - iso
 
     def step_size(f):
@@ -444,14 +464,14 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
     x0 = ro + t0[:, None] * rd
 
     def f_point(p):
-        return deformed_field_rbf(scene, interp, w, p[None])[0]
+        return deformed_field_rbf(scene, interp, w, p[None], fp_iters)[0]
 
     g = jax.vmap(jax.grad(f_point))(x0)
     dfdt = jnp.sum(g * rd, -1)
     dfdt = jax.lax.stop_gradient(
         jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
     )
-    f_at = deformed_field_rbf(scene, interp, w, x0) - iso
+    f_at = deformed_field_rbf(scene, interp, w, x0, fp_iters) - iso
     t_hit = t0 - jnp.clip(f_at / dfdt, -0.5 * base_step, 0.5 * base_step)
     t_hit = jnp.where(found, t_hit, t_exit)
     return t_hit, found
@@ -462,7 +482,8 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
                             params: TraceParams = TraceParams(),
                             max_disp: float = 0.5,
                             image_hw: tuple[int, int] | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            fp_iters: int = FIXED_POINT_ITERS):
     """RBF-deformed sphere trace at Pallas tile speed.
 
     The forward march runs inside the additive Pallas kernel with the
@@ -485,9 +506,14 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
         scene.is_additive
         and scene.capacity_prims % PRIM_BLOCK == 0
         and supports_rows_fast_path(scene)
+        # Mosaic only lowers on TPU; off-TPU the kernel runs only in
+        # interpret mode (ADVICE r2: the docstring used to promise a CPU
+        # fallback the gate didn't implement).
+        and (interpret or jax.default_backend() == "tpu")
     )
     if not fast_ok:
-        return trace_deformed_rbf(scene, interp, w, ro, rd, params, max_disp)
+        return trace_deformed_rbf(scene, interp, w, ro, rd, params, max_disp,
+                                  fp_iters)
 
     shrink = jnp.clip(
         1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
@@ -495,7 +521,7 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
 
     @jax.custom_vjp
     def raw(scene_, w_, ro_, rd_):
-        disp = (interp.centers, w_, shrink, max_disp, FIXED_POINT_ITERS)
+        disp = (interp.centers, w_, shrink, max_disp, fp_iters)
         if image_hw is not None:
             return trace_pallas_image(
                 scene_, ro_, rd_, image_hw[0], image_hw[1], params,
@@ -530,14 +556,14 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
     x0 = ro + t0[:, None] * rd
 
     def f_point(p):
-        return deformed_field_rbf(scene, interp, w, p[None])[0]
+        return deformed_field_rbf(scene, interp, w, p[None], fp_iters)[0]
 
     g = jax.vmap(jax.grad(f_point))(x0)
     dfdt = jnp.sum(g * rd, -1)
     dfdt = jax.lax.stop_gradient(
         jnp.where(jnp.abs(dfdt) < 1e-6, jnp.where(dfdt < 0, -1e-6, 1e-6), dfdt)
     )
-    f_at = deformed_field_rbf(scene, interp, w, x0) - iso
+    f_at = deformed_field_rbf(scene, interp, w, x0, fp_iters) - iso
     t_hit = t0 - jnp.clip(f_at / dfdt, -0.5 * base_step, 0.5 * base_step)
     t_hit = jnp.where(found, t_hit, t0)
     return t_hit, found
@@ -550,29 +576,66 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
                       E_scale: jax.Array | float = 1.0,
                       params: TraceParams = TraceParams(),
                       image_hw: tuple[int, int] | None = None,
-                      use_pallas: bool | None = None):
+                      use_pallas: bool | None = None,
+                      differentiable: bool = False,
+                      cg_tol: float | None = None,
+                      max_disp: float = 0.5,
+                      fp_iters: int = FIXED_POINT_ITERS):
     """North-star step on the fast path: force -> implicit FEM solve ->
     RBF displacement weights (one matmul) -> adaptive deformed trace.
     Same differentiable structure as coupled_step; the displacement field
     is the RBF interpolant instead of the trilinear grid embedding.
+
+    differentiable=False (the forward/rendering default) uses the
+    warm-started PCG solver (state.dv carries the previous step's velocity
+    delta — frame-coherent, so steady-state frames converge in a handful
+    of CG iterations). Set differentiable=True for training steps: the
+    solve is then wrapped in `custom_linear_solve` so image-loss gradients
+    reach E_scale and the BlobTree through one adjoint solve (no warm
+    start — the adjoint reuses the same solver where a primal guess would
+    be wrong). cg_tol=None keeps the solver default (1e-6); forward
+    rendering can run much looser (see tools/coupled_profile.py sweep).
     use_pallas (default: auto — TPU backend only) marches inside the
-    Pallas kernel via trace_deformed_rbf_fast."""
+    Pallas kernel via trace_deformed_rbf_fast. max_disp inflates the ray
+    brackets / cull boxes so the deformed surface stays inside; it must
+    upper-bound the actual |u| (checked by max_disp_bound telemetry)."""
     from ..fem import integrator as integ
 
     mesh2 = dataclasses.replace(fem_mesh, ke=fem_mesh.ke * E_scale)
+    kw = {} if cg_tol is None else {"cg_tol": cg_tol}
     new_state, _ = integ.timestep(
-        mesh2, state, f_ext, h=h, differentiable=True
+        mesh2, state, f_ext, h=h, differentiable=differentiable, **kw
     )
     w = disp_weights(interp, new_state.q)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         t, hit = trace_deformed_rbf_fast(
-            scene, interp, w, ro, rd, params, image_hw=image_hw
+            scene, interp, w, ro, rd, params, image_hw=image_hw,
+            max_disp=max_disp, fp_iters=fp_iters,
         )
     else:
-        t, hit = trace_deformed_rbf(scene, interp, w, ro, rd, params)
+        t, hit = trace_deformed_rbf(
+            scene, interp, w, ro, rd, params, max_disp=max_disp,
+            fp_iters=fp_iters,
+        )
     return t, hit, new_state
+
+
+def max_disp_bound(interp: DispInterp, w: jax.Array,
+                   q: jax.Array) -> jax.Array:
+    """Per-frame upper bound on |u(x)| over the tissue region:
+    u interpolates q exactly at the centers, and |u(x) - u(c_j)| <=
+    L |x - c_j| for the nearest center c_j, so over the mesh node cloud
+
+        max |u| <= max_j |u(c_j)| + L * fill_dist,
+
+    with fill_dist the static farthest node-to-nearest-center distance
+    (precomputed in build_disp_interp) and L = disp_lipschitz(w). Cheap
+    traced telemetry for asserting the coupled path's static `max_disp`
+    inflation actually bounds the frame's displacements (ADVICE r2 #4)."""
+    u_c = jnp.sqrt(jnp.sum(q[interp.center_nodes] ** 2, -1))
+    return jnp.max(u_c) + disp_lipschitz(interp, w) * interp.fill_dist
 
 
 def coupled_step(scene: Scene, fem_mesh, grid: GridSpec,

@@ -190,23 +190,35 @@ def _pull_back_rows(cen, wr, waff, px, py, pz, iters: int):
     RBF displacement interpolant (render.deformed.sample_disp_rbf in row
     layout). cen [M,3] centers, wr [3,M] RBF weights, waff [3,4] affine
     part (column 0 constant, 1:4 linear). px/py/pz are [1,T] deformed
-    points; returns the rest-space rows. Distances form an [M,T] matrix
-    (VPU) and the weight contraction is a [3,M]x[M,T] matmul (MXU) — no
-    gathers, which is the whole point vs the trilinear grid embedding."""
-    cx = cen[:, 0:1]
-    cy = cen[:, 1:2]
-    cz = cen[:, 2:3]
+    points; returns the rest-space rows.
+
+    The [M,T] distance matrix uses the recentered quadratic expansion
+    |x-c|^2 = |x'|^2 - 2 c'.x' + |c'|^2 (primes = centroid-shifted), so
+    the cross term is a [M,3]x[3,T] MXU matmul instead of 3 broadcast
+    subtract+square passes — ~2.5x fewer VPU ops on the march's hottest
+    inner product. Recentering keeps |x'|^2 small so the f32 cancellation
+    error stays ~1e-4 * cellsize. No gathers anywhere, which is the whole
+    point vs the trilinear grid embedding."""
+    hi = jax.lax.Precision.HIGHEST
+    cv = cen[...]
+    mid = jnp.sum(cv, 0, keepdims=True) / cv.shape[0]  # [1, 3]
+    c = cv - mid  # [M, 3] centroid-shifted
+    cn2 = jnp.sum(c * c, 1, keepdims=True)  # [M, 1]
     w = wr[...]
     xx, yy, zz = px, py, pz
     for _ in range(iters):
-        dx = xx - cx
-        dy = yy - cy
-        dz = zz - cz
-        d = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        sx = xx - mid[0, 0]
+        sy = yy - mid[0, 1]
+        sz = zz - mid[0, 2]
+        pts = jnp.concatenate([sx, sy, sz], 0)  # [3, T]
+        g = jnp.dot(c, pts, preferred_element_type=jnp.float32,
+                    precision=hi)  # [M, T] = c'.x'
+        pn2 = sx * sx + sy * sy + sz * sz  # [1, T]
+        d = jnp.sqrt(jnp.maximum(cn2 - 2.0 * g + pn2, 1e-24))
         u = jnp.dot(
             w, d,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=hi,
         )  # [3, T]
         ux = (waff[0:1, 0:1] + waff[0:1, 1:2] * xx
               + waff[0:1, 2:3] * yy + waff[0:1, 3:4] * zz + u[0:1])
@@ -520,6 +532,13 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
     if scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0:
         # Additive fast path: Morton-ordered prims + per-tile block culls.
         prim_args, blk_lo, blk_hi, blk_stretch, nb = _additive_layout(scene)
+        if disp is not None:
+            # Deformed trace: the kernel's fixed base_step must come from
+            # the max_disp-inflated bbox (matching trace_deformed_rbf and
+            # the external 0.5*base_step secant clamp — ADVICE r2 #3);
+            # inflate the bbox rows the kernel derives its diag from.
+            prim_args[-2] = prim_args[-2] - max_disp
+            prim_args[-1] = prim_args[-1] + max_disp
         # Deformed trace: the static live test sees the DEFORMED-space
         # segment hull, so rest-space block boxes get the max-displacement
         # inflation; the in-kernel dynamic cull pulls points back first
@@ -636,20 +655,13 @@ def block_permutation(height: int, width: int, bh: int = 32, bw: int = 64):
     )
 
 
-def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
-                       height: int, width: int,
-                       params: TraceParams = TraceParams(),
-                       interpret: bool = False, tile_cond: bool = True,
-                       tile: int = TILE, disp=None):
-    """trace_pallas over a row-major H x W ray grid with block-coherent
-    tiling: permutes rays into near-square pixel blocks (one block per
-    kernel tile), traces, and maps results back to row-major order.
-
-    The permutation is pure pad + reshape + transpose — NOT a gather: a
-    2M-element gather costs ~40 ms/frame on TPU (≫ the 7 ms march)
-    because XLA lowers it to serialized dynamic slices, while a
-    [hb,bh,wb,bw] transpose is a fast vectorized copy. Same ray order as
-    block_permutation (kept for tests/tools)."""
+def _block_layout(height: int, width: int, tile: int):
+    """Row-major <-> block-major converters for the coherent-tile image
+    path: (to_blocks, from_blocks, n_block_rays). Pure pad + reshape +
+    transpose — NOT a gather: a 2M-element gather costs ~40 ms/frame on
+    TPU (≫ the 7 ms march) because XLA lowers it to serialized dynamic
+    slices, while a [hb,bh,wb,bw] transpose is a fast vectorized copy.
+    Same ray order as block_permutation (kept for tests/tools)."""
     import math
 
     bh = 1 << (int(math.log2(tile)) // 2)  # near-square: bh*bw == tile
@@ -665,22 +677,132 @@ def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
         img = img.reshape(hb, bh, wb, bw, 3).transpose(0, 2, 1, 3, 4)
         return img.reshape(-1, 3)
 
-    # Padding rays start far away pointing +x and miss everything (same
-    # convention as trace_pallas's tail padding).
+    def from_blocks(a):
+        img = a.reshape(hb, wb, bh, bw).transpose(0, 2, 1, 3)
+        img = img.reshape(hb * bh, wb * bw)[:height, :width]
+        return img.reshape(-1)
+
+    return to_blocks, from_blocks, (ph, pw), hb * wb * bh * bw
+
+
+def _image_rays_to_blocks(ro, rd, height, width, tile):
+    """Permute row-major image rays into coherent pixel blocks; padded
+    rays start far away pointing +x and miss everything (same convention
+    as trace_pallas's tail padding)."""
+    to_blocks, from_blocks, (ph, pw), _ = _block_layout(height, width, tile)
     ro_b = to_blocks(ro, 1e7)
     rd_b = to_blocks(rd, 0.0)
     if pw or ph:
         # Padded direction rows must be non-degenerate: rebuild as +x.
         mask = to_blocks(jnp.ones_like(ro), 0.0)[:, :1] > 0.5
         rd_b = jnp.where(mask, rd_b, jnp.asarray([1.0, 0.0, 0.0]))
+    return ro_b, rd_b, from_blocks
+
+
+def trace_pallas_image(scene: Scene, ro: jax.Array, rd: jax.Array,
+                       height: int, width: int,
+                       params: TraceParams = TraceParams(),
+                       interpret: bool = False, tile_cond: bool = True,
+                       tile: int = TILE, disp=None):
+    """trace_pallas over a row-major H x W ray grid with block-coherent
+    tiling: permutes rays into near-square pixel blocks (one block per
+    kernel tile — see _block_layout), traces, and maps results back to
+    row-major order."""
+    ro_b, rd_b, from_blocks = _image_rays_to_blocks(
+        ro, rd, height, width, tile
+    )
     t_b, hit_b = trace_pallas(scene, ro_b, rd_b, params, interpret=interpret,
                               tile_cond=tile_cond, tile=tile, disp=disp)
+    return from_blocks(t_b), from_blocks(hit_b)
 
-    def from_blocks(a):
-        img = a.reshape(hb, wb, bh, bw).transpose(0, 2, 1, 3)
-        img = img.reshape(hb * bh, wb * bw)[:height, :width]
-        return img.reshape(-1)
 
+def trace_pallas_sharded(scene: Scene, ro: jax.Array, rd: jax.Array,
+                         device_mesh, axis=None,
+                         params: TraceParams = TraceParams(),
+                         interpret: bool = False, tile_cond: bool = True,
+                         tile: int = TILE, disp=None):
+    """trace_pallas with the tile grid sharded over a device mesh.
+
+    Kernel tiles are fully independent (SURVEY §2.6 P7: rays are the
+    data-parallel axis), so the SPMD form is exact: rays split evenly
+    across `axis` (default: all mesh axes combined — e.g. the 2-D
+    ('host','chip') mesh shards rays over both), the scene and the RBF
+    displacement spec replicated (≤ ~100 KB — never shard the scene), and
+    each device runs the unchanged single-chip Pallas kernel on its local
+    tiles. No collective is needed for the forward trace; downstream
+    reductions (loss mean/psum) are inserted by XLA where consumed.
+
+    Returns row-sharded (t, hit) of the input length; rays are padded
+    internally so every shard gets the same tile count."""
+    try:  # jax >= 0.9
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if axis is None:
+        axis = device_mesh.axis_names
+        nd = device_mesh.size
+    else:
+        nd = device_mesh.shape[axis] if isinstance(axis, str) else 1
+        if not isinstance(axis, str):
+            for a in axis:
+                nd *= device_mesh.shape[a]
+
+    n = ro.shape[0]
+    chunk = nd * tile
+    n_pad = -(-n // chunk) * chunk
+    pad = n_pad - n
+    if pad:
+        ro = jnp.concatenate([ro, jnp.full((pad, 3), 1e7, ro.dtype)], 0)
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[1.0, 0, 0]], rd.dtype), (pad, 1))], 0
+        )
+
+    # Traced leaves of the displacement spec travel as explicit replicated
+    # args (closing over tracers inside shard_map is fragile); the static
+    # tail (max_disp, fp_iters) stays in the closure.
+    disp_arrs = () if disp is None else tuple(disp[:3])
+    disp_tail = () if disp is None else tuple(disp[3:])
+
+    @partial(
+        shard_map,
+        mesh=device_mesh,
+        in_specs=(P(), P(axis), P(axis)) + (P(),) * len(disp_arrs),
+        out_specs=(P(axis), P(axis)),
+        # pallas_call's out_shape carries no varying-mesh-axes metadata;
+        # the kernel is per-shard pure so the static check is moot.
+        check_vma=False,
+    )
+    def shard_trace(scene_, ro_, rd_, *disp_arrs_):
+        d = disp_arrs_ + disp_tail if disp is not None else None
+        t, hit = trace_pallas(
+            scene_, ro_, rd_, params, interpret=interpret,
+            tile_cond=tile_cond, tile=tile, disp=d,
+        )
+        return t, hit.astype(jnp.int32)
+
+    t, hit = shard_trace(scene, ro, rd, *disp_arrs)
+    return t[:n], hit[:n] > 0
+
+
+def trace_pallas_image_sharded(scene: Scene, ro: jax.Array, rd: jax.Array,
+                               height: int, width: int, device_mesh,
+                               axis=None,
+                               params: TraceParams = TraceParams(),
+                               interpret: bool = False,
+                               tile_cond: bool = True,
+                               tile: int = TILE, disp=None):
+    """Sharded block-coherent image trace: the row-major -> pixel-block
+    permutation runs once globally (pad + transpose), then the coherent
+    tile stream shards over the mesh via trace_pallas_sharded."""
+    ro_b, rd_b, from_blocks = _image_rays_to_blocks(
+        ro, rd, height, width, tile
+    )
+    t_b, hit_b = trace_pallas_sharded(
+        scene, ro_b, rd_b, device_mesh, axis=axis, params=params,
+        interpret=interpret, tile_cond=tile_cond, tile=tile, disp=disp,
+    )
     return from_blocks(t_b), from_blocks(hit_b)
 
 

@@ -145,7 +145,8 @@ def test_fast_gradients_match_finite_differences(setup):
 
     def loss(E_scale):
         t, hit, _ = coupled_step_fast(
-            scene, fem, interp, st, f, ro, rd, E_scale=E_scale
+            scene, fem, interp, st, f, ro, rd, E_scale=E_scale,
+            differentiable=True,
         )
         return jnp.sum(jnp.where(hit0, t, 0.0))
 
@@ -157,3 +158,119 @@ def test_fast_gradients_match_finite_differences(setup):
     eps = 0.003
     fd = (float(lj(1.0 + eps)) - float(lj(1.0 - eps))) / (2 * eps)
     assert abs(gE - fd) / max(abs(fd), 1e-6) < 0.05, (gE, fd)
+
+
+def test_pallas_deformed_kernel_matches_xla(setup):
+    """ADVICE r2 (medium): the in-kernel RBF pull-back march
+    (trace_deformed_rbf_fast -> pallas_trace._pull_back_rows) must pin to
+    the XLA deformed tracer in interpret mode, so CPU CI executes the
+    production kernel path."""
+    from fembrain_tpu.render.deformed import trace_deformed_rbf_fast
+
+    scene, grid, g2n, fem, interp, ro, rd = setup
+    nodes = np.asarray(fem.rest)
+    u = _smooth_sag(fem, nodes)
+    w = disp_weights(interp, u)
+    t1, h1 = trace_deformed_rbf(scene, interp, w, ro, rd)
+    t2, h2 = trace_deformed_rbf_fast(
+        scene, interp, w, ro, rd, interpret=True
+    )
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert (h1 == h2).mean() > 0.995, (h1 != h2).sum()
+    m = h1 & h2
+    diff = np.abs(np.asarray(t1)[m] - np.asarray(t2)[m])
+    assert diff.max() < 1e-3, diff.max()
+
+
+def test_pallas_deformed_image_variant_matches(setup):
+    from fembrain_tpu.render.deformed import trace_deformed_rbf_fast
+
+    scene, grid, g2n, fem, interp, ro, rd = setup
+    nodes = np.asarray(fem.rest)
+    u = _smooth_sag(fem, nodes)
+    w = disp_weights(interp, u)
+    t1, h1 = trace_deformed_rbf_fast(
+        scene, interp, w, ro, rd, interpret=True
+    )
+    t2, h2 = trace_deformed_rbf_fast(
+        scene, interp, w, ro, rd, interpret=True, image_hw=(18, 24)
+    )
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    m = np.asarray(h1) & np.asarray(h2)
+    # Same march, different tile membership (block-coherent permutation
+    # changes which rays share a tile, not the per-ray step sequence).
+    np.testing.assert_allclose(
+        np.asarray(t1)[m], np.asarray(t2)[m], atol=1e-5
+    )
+
+
+def test_pallas_deformed_gradients_match_xla(setup):
+    """Gradients of the kernel path (implicit-diff correction outside the
+    kernel) equal the XLA deformed tracer's gradients."""
+    from fembrain_tpu.render.deformed import trace_deformed_rbf_fast
+
+    scene, grid, g2n, fem, interp, ro, rd = setup
+    nodes = np.asarray(fem.rest)
+    u = _smooth_sag(fem, nodes)
+    w0 = disp_weights(interp, u)
+    _, h0 = trace_deformed_rbf(scene, interp, w0, ro, rd)
+    h0 = jax.lax.stop_gradient(h0)
+
+    def loss_fast(w):
+        t, _ = trace_deformed_rbf_fast(
+            scene, interp, w, ro, rd, interpret=True
+        )
+        return jnp.sum(jnp.where(h0, t, 0.0))
+
+    def loss_xla(w):
+        t, _ = trace_deformed_rbf(scene, interp, w, ro, rd)
+        return jnp.sum(jnp.where(h0, t, 0.0))
+
+    g1 = jax.grad(loss_fast)(w0)
+    g2 = jax.grad(loss_xla)(w0)
+    scale = float(jnp.abs(g2).max())
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), atol=2e-3 * max(scale, 1.0)
+    )
+
+
+def test_forward_solver_matches_differentiable(setup):
+    """coupled_step_fast's forward default (warm-started PCG) produces the
+    same trajectory as the differentiable custom_linear_solve mode."""
+    scene, grid, g2n, fem, interp, ro, rd = setup
+    f = jnp.zeros((fem.n_nodes, 3)).at[:, 1].set(-8000.0 * fem.mass)
+
+    def roll(differentiable, steps=3):
+        st = FemState.rest(fem)
+        outs = []
+        for _ in range(steps):
+            t, hit, st = jax.jit(
+                lambda s: coupled_step_fast(
+                    scene, fem, interp, s, f, ro, rd,
+                    differentiable=differentiable,
+                )
+            )(st)
+            outs.append(np.asarray(st.q))
+        return outs
+
+    fwd = roll(False)
+    diff = roll(True)
+    for a, b in zip(fwd, diff):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_max_disp_bound_covers_actual_displacements(setup):
+    """The per-frame telemetry bound (ADVICE r2 #4) upper-bounds the RBF
+    displacement magnitude everywhere on the mesh node cloud."""
+    from fembrain_tpu.render.deformed import max_disp_bound
+
+    scene, grid, g2n, fem, interp, ro, rd = setup
+    nodes = np.asarray(fem.rest)
+    u = _smooth_sag(fem, nodes)
+    w = disp_weights(interp, u)
+    bound = float(max_disp_bound(interp, w, u))
+    u_at_nodes = sample_disp_rbf(interp, w, jnp.asarray(nodes))
+    actual = float(jnp.linalg.norm(u_at_nodes, axis=-1).max())
+    assert actual <= bound + 1e-5, (actual, bound)
+    # and the bound is meaningful (not orders of magnitude loose)
+    assert bound < 10 * max(actual, 1e-3), (actual, bound)

@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Measure the coupled render+deform frame (BASELINE config #5) at 1080p:
 force -> implicit FEM step -> RBF displacement weights -> deformed trace.
+
+Prints a per-stage decomposition (fem / rbf-weights / trace) plus the
+fused frame, for both the differentiable (cold CG) and forward
+(warm-started CG) solver modes, and a CG-tolerance sweep with the
+resulting displacement error vs the tight solve.
 """
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -11,13 +17,32 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def timed(fn, *args, iters=5):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="ventricle")
+    ap.add_argument("--cellsize", type=float, default=0.14)
+    ap.add_argument("--frames", type=int, default=5)
+    args = ap.parse_args()
+
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
     from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.fem import integrator as integ
     from fembrain_tpu.fem.integrator import FemState
     from fembrain_tpu.fem.tetmesh import build_fem_mesh
     from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
@@ -25,17 +50,20 @@ def main() -> None:
     from fembrain_tpu.render.deformed import (
         build_disp_interp,
         coupled_step_fast,
+        disp_weights,
+        trace_deformed_rbf_fast,
     )
     from fembrain_tpu.render.sphere_trace import TraceParams
 
     on_tpu = jax.default_backend() == "tpu"
     width, height = (1920, 1080) if on_tpu else (192, 108)
-    iters = 3
 
-    sc = load_blob("/root/reference/data/models/blobtree/ventricle.blob")
+    sc = load_blob(
+        f"/root/reference/data/models/blobtree/{args.scene}.blob"
+    )
     sc.flatten_instances()
     scene = sc.pack()
-    grid = grid_for_scene(scene, cellsize=0.14)
+    grid = grid_for_scene(scene, cellsize=args.cellsize)
     print(f"grid dims={grid.dims} cells={grid.n_cells}", flush=True)
     tm = extract_tet_mesh(
         scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
@@ -54,33 +82,109 @@ def main() -> None:
     rd = jnp.reshape(rd, (-1, 3))
     f_ext = jnp.zeros((len(nodes), 3)).at[:, 1].set(-10000.0 * mesh.mass)
     params = TraceParams()
+    st0 = FemState.rest(mesh)
 
-    def frames(state, ro, rd):
+    # ---- stage 1: FEM step alone, both modes ----
+    @jax.jit
+    def fem_diff(st):
+        st2, it = integ.timestep(mesh, st, f_ext, differentiable=True)
+        return st2, it
+
+    @jax.jit
+    def fem_fwd(st):
+        st2, it = integ.timestep(mesh, st, f_ext)
+        return st2, it
+
+    dt, (st1, _) = timed(fem_diff, st0)
+    print(f"fem step (differentiable, cold): {dt*1e3:8.1f} ms", flush=True)
+    dt, (stw, itw) = timed(fem_fwd, st0)
+    print(
+        f"fem step (fwd, warm from rest):  {dt*1e3:8.1f} ms"
+        f"  cg_iters={int(itw)}",
+        flush=True,
+    )
+    # warm across frames: step twice, time the second
+    @jax.jit
+    def fem_fwd2(st):
+        st2, _ = integ.timestep(mesh, st, f_ext)
+        st3, it = integ.timestep(mesh, st2, f_ext)
+        return st3, it
+
+    dt2, (_, it2) = timed(fem_fwd2, st0)
+    dt1, _ = timed(fem_fwd, st0)
+    print(
+        f"fem step (fwd, warm 2nd frame):  {(dt2-dt1)*1e3:8.1f} ms"
+        f"  cg_iters={int(it2)}",
+        flush=True,
+    )
+
+    # ---- CG tolerance sweep ----
+    q_ref = None
+    for tol in (1e-6, 1e-5, 1e-4, 1e-3, 1e-2):
+        @jax.jit
+        def fem_tol(st, tol=tol):
+            st2, it = integ.timestep(mesh, st, f_ext, cg_tol=tol)
+            return st2, it
+
+        dt, (st2, it) = timed(fem_tol, st0)
+        q = np.asarray(st2.q)
+        if q_ref is None:
+            q_ref = q
+        err = float(np.abs(q - q_ref).max())
+        print(
+            f"  cg_tol={tol:g}: {dt*1e3:7.1f} ms  iters={int(it):4d}"
+            f"  max|dq| vs 1e-6 = {err:.2e}",
+            flush=True,
+        )
+
+    # ---- stage 2: RBF weights ----
+    @jax.jit
+    def weights(st):
+        return disp_weights(interp, st.q)
+
+    dt, w = timed(weights, st1)
+    print(f"rbf weights:                     {dt*1e3:8.2f} ms", flush=True)
+
+    # ---- stage 3: deformed trace alone ----
+    @jax.jit
+    def tr(w, ro, rd):
+        return trace_deformed_rbf_fast(
+            scene, interp, w, ro, rd, params, image_hw=(height, width)
+        )
+
+    dt, _ = timed(tr, w, ro, rd)
+    print(f"deformed trace {width}x{height}:     {dt*1e3:8.1f} ms", flush=True)
+
+    # ---- fused coupled frame (scan over frames) ----
+    def frames(state, ro, rd, differentiable):
         def body(carry, _):
             st, acc = carry
             t, hit, st2 = coupled_step_fast(
                 scene, mesh, interp, st, f_ext,
                 ro + acc * 1e-30, rd, params=params,
+                image_hw=(height, width),
+                differentiable=differentiable,
             )
             return (st2, jnp.sum(t)), None
 
         (st, acc), _ = jax.lax.scan(
-            body, (state, jnp.zeros(())), None, length=iters
+            body, (state, jnp.zeros(())), None, length=args.frames
         )
         return acc
 
-    fn = jax.jit(frames)
-    st0 = FemState.rest(mesh)
-    print("compiling...", flush=True)
-    float(fn(st0, ro, rd))
-    t0 = time.perf_counter()
-    float(fn(st0, ro, rd))
-    dt = (time.perf_counter() - t0) / iters
-    print(
-        f"coupled frame: {dt * 1e3:.1f} ms = {1 / dt:.2f} fps at "
-        f"{width}x{height} ({width * height / dt / 1e6:.1f}M rays/s)",
-        flush=True,
-    )
+    fn = jax.jit(frames, static_argnums=(3,))
+    for diff in (False,):
+        t0 = time.perf_counter()
+        float(fn(st0, ro, rd, diff))
+        print(f"compile: {time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        float(fn(st0, ro, rd, diff))
+        dt = (time.perf_counter() - t0) / args.frames
+        print(
+            f"coupled frame: {dt * 1e3:.1f} ms = {1 / dt:.2f} fps at "
+            f"{width}x{height} ({width * height / dt / 1e6:.1f}M rays/s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
