@@ -80,7 +80,11 @@ def main() -> None:
     ro, rd = generate_rays(cam, width, height)
     ro = jnp.reshape(ro, (-1, 3))
     rd = jnp.reshape(rd, (-1, 3))
-    f_ext = jnp.zeros((len(nodes), 3)).at[:, 1].set(-10000.0 * mesh.mass)
+    # Quasi-static sag scenario: gentle gravity so displacements stay at
+    # soft-tissue scale (|u| ~ 0.1 << max_disp) — the free-fall -1e4*mass
+    # load of the round-2 tool sent |q| to 11+ units, which both breaks
+    # the max_disp bracket assumption and zeroes the adaptive step factor.
+    f_ext = jnp.zeros((len(nodes), 3)).at[:, 1].set(-100.0 * mesh.mass)
     params = TraceParams()
     st0 = FemState.rest(mesh)
 
