@@ -114,11 +114,15 @@ def build_fem_mesh(
     mass = np.zeros(len(nodes))
     np.add.at(mass, tets.reshape(-1), np.repeat(rho * vol / 4.0, 4))
 
-    if fixed is None:
-        fixed_mask = np.zeros(len(nodes), bool)
-    else:
-        fixed_mask = np.zeros(len(nodes), bool)
-        fixed_mask[np.asarray(fixed, np.int64)] = True
+    fixed_mask = np.zeros(len(nodes), bool)
+    if fixed is not None:
+        fixed = np.asarray(fixed)
+        if fixed.dtype == bool:
+            # Bool masks used to be silently cast to indices {0, 1},
+            # anchoring only nodes 0/1 (round-3 fix).
+            fixed_mask[: len(fixed)] = fixed[: len(nodes)]
+        else:
+            fixed_mask[fixed.astype(np.int64)] = True
 
     # Transposed (gather-form) assembly map: slots sorted by node.
     flat_nodes = tets.reshape(-1)                 # slot s touches node

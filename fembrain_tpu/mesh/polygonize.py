@@ -98,6 +98,9 @@ class TetMesh:
     n_nodes: jax.Array       # scalar i32
     n_tets: jax.Array        # scalar i32
     grid_to_node: jax.Array  # [n_grid_vertices] node id or -1
+    # [CX,CY,CZ] bool, the cells whose 6 Kuhn tets are in `tets` — the
+    # structured view that fem.grid_fem builds its stencil solver from.
+    cell_mask: jax.Array | None = None
 
 
 def _shift(a: jax.Array, off, fill):
@@ -342,6 +345,7 @@ def extract_tet_mesh(
         n_nodes=n_nodes.astype(jnp.int32),
         n_tets=n_tets.astype(jnp.int32),
         grid_to_node=grid_to_node,
+        cell_mask=used_cell,
     )
 
 

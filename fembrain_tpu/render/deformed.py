@@ -309,12 +309,18 @@ def build_disp_interp(nodes, n_centers: int | None = None,
     )
 
 
+def disp_weights_centers(interp: DispInterp, u_c: jax.Array):
+    """RBF weights from displacements AT the centers: [M+4, 3] =
+    A_inv @ rhs. Linear in u_c, so gradients flow through."""
+    rhs = jnp.concatenate([u_c, jnp.zeros((4, 3), u_c.dtype)], 0)
+    return interp.a_inv @ rhs                         # [M+4, 3]
+
+
 def disp_weights(interp: DispInterp, q: jax.Array):
     """Per-frame RBF weights from the FEM state: [M+4, 3] = A_inv @ rhs.
     Linear in q, so gradients flow through to material parameters."""
     u_c = q[interp.center_nodes]                      # [M, 3] (one gather
-    rhs = jnp.concatenate([u_c, jnp.zeros((4, 3), q.dtype)], 0)  # of M rows)
-    return interp.a_inv @ rhs                         # [M+4, 3]
+    return disp_weights_centers(interp, u_c)          # of M rows)
 
 
 def sample_disp_rbf(interp: DispInterp, w: jax.Array,
@@ -607,6 +613,53 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
         mesh2, state, f_ext, h=h, differentiable=differentiable, **kw
     )
     w = disp_weights(interp, new_state.q)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        t, hit = trace_deformed_rbf_fast(
+            scene, interp, w, ro, rd, params, image_hw=image_hw,
+            max_disp=max_disp, fp_iters=fp_iters,
+        )
+    else:
+        t, hit = trace_deformed_rbf(
+            scene, interp, w, ro, rd, params, max_disp=max_disp,
+            fp_iters=fp_iters,
+        )
+    return t, hit, new_state
+
+
+def coupled_step_grid_fast(scene: Scene, gf, interp: DispInterp,
+                           center_grid_idx: jax.Array,
+                           state, f_ext: jax.Array,
+                           ro: jax.Array, rd: jax.Array,
+                           h: float = 0.0333,
+                           E_scale: jax.Array | float = 1.0,
+                           params: TraceParams = TraceParams(),
+                           image_hw: tuple[int, int] | None = None,
+                           use_pallas: bool | None = None,
+                           differentiable: bool = False,
+                           cg_tol: float | None = None,
+                           max_disp: float = 0.5,
+                           fp_iters: int = FIXED_POINT_ITERS):
+    """North-star step on the GRID-FEM fast path: the production coupled
+    frame. Same structure as coupled_step_fast, but the implicit solve is
+    fem.grid_fem.timestep (stencil matvec + multigrid preconditioner —
+    ~2 orders of magnitude faster than the unstructured solver at the
+    61k-tet ventricle). `gf` is a fem.grid_fem.GridFem, `state` a grid
+    FemState ([X,Y,Z,3] leaves), f_ext is [X,Y,Z,3], and
+    `center_grid_idx` [M] maps interp centers to flat grid vertices
+    (node_to_grid_index(tm)[interp.center_nodes])."""
+    from ..fem import grid_fem as gfm
+
+    gf2 = gf if E_scale is None else dataclasses.replace(
+        gf, ke=gf.ke * E_scale
+    )
+    kw = {} if cg_tol is None else {"cg_tol": cg_tol}
+    new_state, _ = gfm.timestep(
+        gf2, state, f_ext, h=h, differentiable=differentiable, **kw
+    )
+    u_c = new_state.q.reshape(-1, 3)[center_grid_idx]   # [M,3] tiny gather
+    w = disp_weights_centers(interp, u_c)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
