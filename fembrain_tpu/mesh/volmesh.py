@@ -67,12 +67,91 @@ class VolMesh:
         self.on_cell_added = None
         self.on_cell_removed = None
 
+        if nodes is not None and cells is not None and len(cells) > 256:
+            # Production-scale path: bulk array construction (native edge
+            # kernel when available) — the per-cell Python loop below is
+            # fine for fixtures but not for the app's 61k-tet meshes
+            # (reference VolMesh is C++, src/deformable/VolMesh.cpp).
+            self._bulk_init(
+                np.asarray(nodes, np.float64), np.asarray(cells, np.int64)
+            )
+            return
         if nodes is not None:
             for p in np.asarray(nodes, np.float64):
                 self.insert_node(p)
         if cells is not None:
             for c in np.asarray(cells, np.int64):
                 self.insert_cell(tuple(int(v) for v in c))
+
+    def _bulk_init(self, nodes: np.ndarray, cells: np.ndarray) -> None:
+        from .. import native
+
+        self.nodes = [Node(p.copy(), p.copy()) for p in nodes]
+        self.incident_edges_per_node = [set() for _ in self.nodes]
+        self.incident_cells_per_node = [set() for _ in self.nodes]
+
+        built = native.build_edges(cells)
+        if built is not None:
+            edges, cell_edges = built
+            edges = edges.astype(np.int64)
+            cell_edges = cell_edges.astype(np.int64)
+        else:
+            # Vectorized numpy fallback: unique sorted node pairs.
+            pairs = cells[:, np.asarray(CELL_EDGES)]          # [T,6,2]
+            flat = pairs.reshape(-1, 2)
+            keys = (
+                np.minimum(flat[:, 0], flat[:, 1]) * len(self.nodes)
+                + np.maximum(flat[:, 0], flat[:, 1])
+            )
+            _, first, inv = np.unique(
+                keys, return_index=True, return_inverse=True
+            )
+            order = np.argsort(first, kind="stable")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            edges = flat[np.sort(first)]
+            cell_edges = rank[inv].reshape(-1, 6)
+
+        self.edges = [Edge(int(a), int(b)) for a, b in edges]
+        self._edge_map = {
+            (min(int(a), int(b)), max(int(a), int(b))): i
+            for i, (a, b) in enumerate(edges)
+        }
+        for i, (a, b) in enumerate(edges):
+            self.incident_edges_per_node[int(a)].add(i)
+            self.incident_edges_per_node[int(b)].add(i)
+        self.incident_cells_per_edge = {i: set() for i in range(len(edges))}
+
+        # Faces: unique sorted triples.
+        tris = np.sort(cells[:, np.asarray(CELL_FACES)], axis=-1)  # [T,4,3]
+        tflat = tris.reshape(-1, 3)
+        keys = (
+            tflat[:, 0] * len(self.nodes) + tflat[:, 1]
+        ) * len(self.nodes) + tflat[:, 2]
+        _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+        order = np.argsort(first, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        self.faces = [tuple(int(v) for v in t) for t in tflat[np.sort(first)]]
+        self._face_map = {f: i for i, f in enumerate(self.faces)}
+        cell_faces = rank[inv].reshape(-1, 4)
+
+        self.cells = [
+            Cell(
+                nodes=[int(v) for v in cells[t]],
+                edges=[int(e) for e in cell_edges[t]],
+                faces=[int(f) for f in cell_faces[t]],
+            )
+            for t in range(len(cells))
+        ]
+        for t, cell in enumerate(self.cells):
+            for e in cell.edges:
+                self.incident_cells_per_edge[e].add(t)
+            for n in cell.nodes:
+                self.incident_cells_per_node[n].add(t)
+        if self.on_cell_added:
+            for t in range(len(self.cells)):
+                self.on_cell_added(t)
 
     # ----------------------------------------------------------- counts
     def count_nodes(self) -> int:
@@ -313,31 +392,56 @@ class VolMesh:
     def check_invariants(self) -> list[str]:
         """Mesh-invariant suite (reference TestVolMesh::tst_correct_elements
         + tst_unused_mesh_fields, test_VolMesh.cpp:17-291). Returns a list
-        of violation strings; empty = PASS."""
-        errors = []
-        used_nodes: set[int] = set()
-        used_edges: set[int] = set()
-        for i, cell in enumerate(self.cells):
-            if cell is None:
-                continue
-            if len(set(cell.nodes)) != 4:
-                errors.append(f"cell {i}: duplicate nodes {cell.nodes}")
-            for n in cell.nodes:
-                if not self.is_node_index(n):
-                    errors.append(f"cell {i}: bad node {n}")
-            used_nodes.update(cell.nodes)
-            if len(set(cell.edges)) != 6:
-                errors.append(f"cell {i}: duplicate edges")
-            for k, (a, b) in enumerate(CELL_EDGES):
-                e = self.edges[cell.edges[k]]
-                want = {cell.nodes[a], cell.nodes[b]}
-                if {e.from_, e.to} != want:
-                    errors.append(
-                        f"cell {i}: edge {k} mismatch {e.from_, e.to} != {want}"
-                    )
-            used_edges.update(cell.edges)
-            if abs(self.cell_volume(i)) < 1e-15:
-                errors.append(f"cell {i}: degenerate volume")
+        of violation strings; empty = PASS. Vectorized (numpy over live
+        cells) so it stays wired into the production cut path at 61k-tet
+        app scale, as the reference wires TestVolMesh into every cut."""
+        errors: list[str] = []
+        live = [i for i, c in enumerate(self.cells) if c is not None]
+        if not live:
+            return errors
+        ca = np.asarray([self.cells[i].nodes for i in live], np.int64)
+        ce = np.asarray([self.cells[i].edges for i in live], np.int64)
+        pos = self.positions()
+        n = len(self.nodes)
+
+        # Node validity + duplicates.
+        bad_range = (ca < 0) | (ca >= n)
+        for r in np.nonzero(bad_range.any(1))[0]:
+            errors.append(f"cell {live[r]}: bad node {self.cells[live[r]].nodes}")
+        srt = np.sort(ca, 1)
+        dup = (srt[:, 1:] == srt[:, :-1]).any(1)
+        for r in np.nonzero(dup & ~bad_range.any(1))[0]:
+            errors.append(
+                f"cell {live[r]}: duplicate nodes {self.cells[live[r]].nodes}"
+            )
+        ok = ~(bad_range.any(1) | dup)
+
+        # Edge-slot consistency: stored edge endpoints == cell node pair.
+        ea = np.asarray([[e.from_, e.to] for e in self.edges], np.int64)
+        dup_e = (np.sort(ce, 1)[:, 1:] == np.sort(ce, 1)[:, :-1]).any(1)
+        for r in np.nonzero(dup_e)[0]:
+            errors.append(f"cell {live[r]}: duplicate edges")
+        want = ca[:, np.asarray(CELL_EDGES)]                 # [L,6,2]
+        got = ea[ce]                                         # [L,6,2]
+        match = (got == want).all(-1) | (got == want[..., ::-1]).all(-1)
+        for r, k in zip(*np.nonzero(~match)):
+            errors.append(
+                f"cell {live[r]}: edge {k} mismatch "
+                f"{tuple(got[r, k])} != {set(want[r, k])}"
+            )
+
+        # Degenerate volumes (vectorized signed volume).
+        p = pos[np.where(ok[:, None], ca, 0)]                # [L,4,3]
+        vol = np.abs(
+            np.einsum(
+                "ij,ij->i",
+                p[:, 1] - p[:, 0],
+                np.cross(p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]),
+            )
+            / 6.0
+        )
+        for r in np.nonzero(ok & (vol < 1e-15))[0]:
+            errors.append(f"cell {live[r]}: degenerate volume")
         # Orphans are reported (not fatal in the reference histogram).
         return errors
 

@@ -42,6 +42,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.fem import grid_fem as gfm
     from fembrain_tpu.fem import integrator as integ
     from fembrain_tpu.fem.integrator import FemState
     from fembrain_tpu.fem.tetmesh import build_fem_mesh
@@ -50,6 +51,7 @@ def main() -> None:
     from fembrain_tpu.render.deformed import (
         build_disp_interp,
         coupled_step_fast,
+        coupled_step_grid_fast,
         disp_weights,
         trace_deformed_rbf_fast,
     )
@@ -187,6 +189,45 @@ def main() -> None:
         print(
             f"coupled frame: {dt * 1e3:.1f} ms = {1 / dt:.2f} fps at "
             f"{width}x{height} ({width * height / dt / 1e6:.1f}M rays/s)",
+            flush=True,
+        )
+
+    # ---- GRID-FEM coupled frame (the production path) ----
+    gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
+    n2g = gfm.node_to_grid_index(tm)
+    cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
+    f_ext_g = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
+    f_ext_g[n2g] = np.asarray(f_ext, np.float32)
+    f_ext_g = jnp.asarray(f_ext_g.reshape(*grid.dims, 3))
+
+    def gframes(state, ro, rd, cg_tol):
+        def body(carry, _):
+            st, acc = carry
+            t, hit, st2 = coupled_step_grid_fast(
+                scene, gf, interp, cgi, st, f_ext_g,
+                ro + acc * 1e-30, rd, params=params,
+                image_hw=(height, width), cg_tol=cg_tol,
+            )
+            return (st2, jnp.sum(t)), None
+
+        (st, acc), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), None, length=args.frames
+        )
+        return acc
+
+    gfn = jax.jit(gframes, static_argnums=(3,))
+    gst0 = gf.rest_state()
+    for tol in (1e-6, 1e-3):
+        t0 = time.perf_counter()
+        float(gfn(gst0, ro, rd, tol))
+        print(f"grid compile: {time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        float(gfn(gst0, ro, rd, tol))
+        dt = (time.perf_counter() - t0) / args.frames
+        print(
+            f"GRID coupled frame (tol={tol:g}): {dt * 1e3:.1f} ms = "
+            f"{1 / dt:.2f} fps at {width}x{height} "
+            f"({width * height / dt / 1e6:.1f}M rays/s)",
             flush=True,
         )
 

@@ -1,17 +1,18 @@
 #!/usr/bin/env python
 """Multi-device rays/s scaling harness (BASELINE: >= 80 % efficiency
-1 chip -> 1 host -> N hosts).
+1 chip -> 1 host -> N hosts) over the PRODUCTION Pallas tracer.
 
-Shards a sphere-trace render over a 1-D device mesh (rays sharded, scene
-replicated — parallel/sharding.py) and reports rays/s and efficiency at
-1, 2, ..., N devices. On this box real multi-chip hardware is absent, so
-the default run simulates an 8-device mesh on CPU
-(--xla_force_host_platform_device_count); the same code path runs
-unchanged on a real TPU slice.
+Shards trace_pallas over a device mesh (tile grid sharded on the rays
+axis, scene replicated — render.pallas_trace.trace_pallas_sharded) and
+reports rays/s and efficiency at 1, 2, ..., N devices. On this box real
+multi-chip hardware is absent, so the default run simulates an 8-device
+mesh on CPU (--xla_force_host_platform_device_count) with the kernel in
+interpret mode; the same code path runs unchanged on a real TPU slice.
+Results are persisted as JSON lines (--out, default SCALING_r03.json).
 
 Usage:
     python tools/scaling_bench.py [--devices 8] [--width 512]
-                                  [--height 288] [--tpu]
+                                  [--height 288] [--tpu] [--out FILE]
 """
 from __future__ import annotations
 
@@ -34,6 +35,8 @@ def main(argv=None) -> int:
         "/root/reference/data/models/blobtree/ventricle.blob"))
     ap.add_argument("--tpu", action="store_true",
                     help="use the real TPU backend (default: CPU-sim mesh)")
+    ap.add_argument("--out", default=None,
+                    help="append JSON records to this file")
     args = ap.parse_args(argv)
 
     if not args.tpu:
@@ -51,7 +54,7 @@ def main(argv=None) -> int:
     from fembrain_tpu.blob.reader import load_blob
     from fembrain_tpu.parallel import sharding as sh
     from fembrain_tpu.render.camera import Camera, generate_rays
-    from fembrain_tpu.render.sphere_trace import trace
+    from fembrain_tpu.render.pallas_trace import trace_pallas_sharded
 
     sc = load_blob(args.blob)
     sc.flatten_instances()
@@ -61,8 +64,10 @@ def main(argv=None) -> int:
     ro = jnp.reshape(ro, (-1, 3))
     rd = jnp.reshape(rd, (-1, 3))
     n_rays = ro.shape[0]
+    interpret = not args.tpu  # Mosaic lowers only on TPU
 
     avail = len(jax.devices())
+    records = []
 
     def measure(mesh, label, nd):
         nonlocal base_rate
@@ -70,10 +75,13 @@ def main(argv=None) -> int:
         (ro_d, rd_d) = sh.shard_rays(mesh, ro, rd)
 
         def frames(s, o, d):
-            # Chain iters frames in one program (carry-dependent) so the
+            # Chain frames in one program (carry-dependent) so the
             # per-dispatch tunnel/dispatch latency is amortized out.
             def body(acc, _):
-                return jnp.sum(trace(s, o + acc * 1e-30, d)[0]), None
+                t, _h = trace_pallas_sharded(
+                    s, o + acc * 1e-30, d, mesh, interpret=interpret
+                )
+                return jnp.sum(t), None
             acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=3)
             return acc
 
@@ -86,8 +94,11 @@ def main(argv=None) -> int:
         if base_rate is None:
             base_rate = rate
         rec = {
+            "tracer": "pallas" + ("-interpret" if interpret else ""),
             "tier": label,
             "devices": nd,
+            "width": args.width,
+            "height": args.height,
             "rays_per_s": round(rate, 1),
             "speedup": round(rate / base_rate, 2),
         }
@@ -102,6 +113,7 @@ def main(argv=None) -> int:
             # slice - same code path, --tpu.
             rec["sim"] = True
             rec["parallel_overhead_factor"] = round(base_rate / rate, 3)
+        records.append(rec)
         print(json.dumps(rec))
         sys.stdout.flush()
 
@@ -121,6 +133,10 @@ def main(argv=None) -> int:
                 sh.make_host_chip_mesh(n_hosts, cph),
                 f"{n_hosts}-hosts(sim)", n_hosts * cph,
             )
+    if args.out:
+        with open(args.out, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
     return 0
 
 
