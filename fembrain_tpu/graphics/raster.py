@@ -54,8 +54,13 @@ def rasterize(
     light_dir=(0.577, 0.577, 0.577),
     wireframe: bool = False,
     point_size: int = 2,
+    material=None,
 ) -> np.ndarray:
-    """Render draw batches -> [H, W, 3] float image in [0, 1]."""
+    """Render draw batches -> [H, W, 3] float image in [0, 1].
+    `material` picks named shading parameters (graphics.materials) —
+    the same registry the tracer consumes."""
+    if material is None:
+        from .materials import PHONG as material
     img = np.ones((height, width, 3)) * np.asarray(background)
     zbuf = np.full((height, width), np.inf)
     ldir = np.asarray(light_dir, np.float64)
@@ -70,7 +75,7 @@ def rasterize(
                 continue
         if batch.faces is not None and not wireframe:
             _draw_triangles(img, zbuf, batch, xy, z, col, ldir,
-                            width, height)
+                            width, height, material)
     return np.clip(img, 0.0, 1.0)
 
 
@@ -90,7 +95,8 @@ def _draw_points(img, zbuf, xy, z, col, size):
         img[y0:y1, x0:x1][mask] = col
 
 
-def _draw_triangles(img, zbuf, batch, xy, z, col, ldir, width, height):
+def _draw_triangles(img, zbuf, batch, xy, z, col, ldir, width, height,
+                    material):
     verts = batch.verts
     for f in batch.faces:
         a, b, c = xy[f[0]], xy[f[1]], xy[f[2]]
@@ -102,7 +108,10 @@ def _draw_triangles(img, zbuf, batch, xy, z, col, ldir, width, height):
         nl = np.linalg.norm(n)
         if nl < 1e-20:
             continue
-        shade = 0.25 + 0.75 * abs(float(n @ ldir)) / nl
+        shade = (
+            material.ambient
+            + material.diffuse * abs(float(n @ ldir)) / nl
+        )
         x0 = max(int(np.floor(min(a[0], b[0], c[0]))), 0)
         x1 = min(int(np.ceil(max(a[0], b[0], c[0]))) + 1, width)
         y0 = max(int(np.floor(min(a[1], b[1], c[1]))), 0)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..blob.scene import Scene
 from ..blob.types import DEFAULT_CELL_SIZE, ISO_VALUE
-from ..ops.field import field, field_and_color, gradient
+from ..ops.field import field, vertex_attributes
 from . import tables as T
 
 
@@ -198,11 +198,13 @@ def polygonize(
     edge_nodes = jnp.zeros((vcap, 2), jnp.int32).at[dst].set(ab, mode="drop")
 
     # ---- per-vertex attributes (normals via autodiff, colors) -----------
-    g = gradient(scene, verts)
+    # One fused primitive evaluation for field+gradient+color (the
+    # reference pays 6 separate field evals per crossed edge,
+    # Polygonizer.cl:1429-1561).
+    _, g, colors = vertex_attributes(scene, verts)
     normals = -g * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(g * g, -1, keepdims=True), 1e-24)
     )
-    _, colors = field_and_color(scene, verts)
 
     # ---- triangle emission: marching tets over the Kuhn split -----------
     CX, CY, CZ = X - 1, Y - 1, Z - 1

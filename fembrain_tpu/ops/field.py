@@ -514,24 +514,22 @@ def field_rows(scene: Scene, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Ar
     return op_vals[scene.root_idx]  # [1, T]
 
 
+def _fold(scene: Scene, pf: jax.Array) -> jax.Array:
+    """Operator fold over a primitive-field matrix [N, P] -> [N]."""
+    if not scene.root_is_op:
+        # No operators: blend (sum) all primitives — CPU reference semantics
+        # (Polygonizer.cpp:2088-2097); exact for the 1-prim case.
+        return jnp.sum(pf[:, : scene.n_prims], -1)
+    if len(scene.schedule) <= UNROLL_LIMIT:
+        return _fold_unrolled(scene, pf)
+    return _fold_scan(scene, pf)
+
+
 def field(scene: Scene, points: jax.Array) -> jax.Array:
     """BlobTree field at points [..., 3] -> [...]."""
     shape = points.shape[:-1]
     pts = points.reshape(-1, 3)
-    pf = prim_fields(scene, pts)
-
-    if not scene.root_is_op:
-        # No operators: blend (sum) all primitives — CPU reference semantics
-        # (Polygonizer.cpp:2088-2097); exact for the 1-prim case.
-        n = scene.n_prims
-        out = jnp.sum(pf[:, :n], -1)
-        return out.reshape(shape)
-
-    if len(scene.schedule) <= UNROLL_LIMIT:
-        out = _fold_unrolled(scene, pf)
-    else:
-        out = _fold_scan(scene, pf)
-    return out.reshape(shape)
+    return _fold(scene, prim_fields(scene, pts)).reshape(shape)
 
 
 def _fold_unrolled(scene: Scene, pf: jax.Array) -> jax.Array:
@@ -688,14 +686,41 @@ def field_and_color(scene: Scene, points: jax.Array) -> tuple[jax.Array, jax.Arr
     """
     shape = points.shape[:-1]
     pts = points.reshape(-1, 3)
-    pf = prim_fields(scene, pts)
-    n = scene.n_prims
+    pf = prim_fields(scene, pts)        # ONE primitive pass shared by
+    n = scene.n_prims                   # color weighting and the fold
     w = pf[:, :n]
     wsum = jnp.sum(w, -1, keepdims=True)
     colors = scene.prim_color[:n]
     col = (w @ colors) / jnp.maximum(wsum, 1e-8)
-    f = field(scene, points).reshape(-1)
+    f = _fold(scene, pf)
     return f.reshape(shape), col.reshape(*shape, 4)
+
+
+def vertex_attributes(scene: Scene, points: jax.Array):
+    """(field, gradient, color) at points [..., 3] in ONE fused primitive
+    evaluation: the color is carried as the aux output of the gradient's
+    forward pass, so the polygonizer's per-vertex attribute stage
+    (reference ComputeVertexAttribs, Polygonizer.cl:1429-1561 — which
+    pays 6 field evaluations per vertex) costs one forward + one
+    backward sweep total."""
+    shape = points.shape[:-1]
+    pts = points.reshape(-1, 3)
+
+    def f1(p):
+        pf = prim_fields(scene, p[None])
+        n = scene.n_prims
+        w = pf[:, :n]
+        wsum = jnp.sum(w, -1, keepdims=True)
+        col = (w @ scene.prim_color[:n]) / jnp.maximum(wsum, 1e-8)
+        f = _fold(scene, pf)[0]
+        return f, (f, col[0])
+
+    g, (f, col) = jax.vmap(jax.grad(f1, has_aux=True))(pts)
+    return (
+        f.reshape(shape),
+        g.reshape(*shape, 3),
+        col.reshape(*shape, 4),
+    )
 
 
 def gradient(scene: Scene, points: jax.Array) -> jax.Array:

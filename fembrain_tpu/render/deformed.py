@@ -188,10 +188,14 @@ def trace_deformed(scene: Scene, grid: GridSpec, u_grid: jax.Array,
 def shade_deformed(scene: Scene, grid: GridSpec, u_grid: jax.Array,
                    ro, rd, t_hit, hit_mask,
                    light_dir=(0.577, 0.577, 0.577),
-                   background=(1.0, 1.0, 1.0)):
+                   background=(1.0, 1.0, 1.0),
+                   material=None):
     """Blinn-Phong shading of the deformed surface: normals from the
     deformed field's autodiff gradient (exact normals of the warped
-    surface), material color sampled at the pulled-back rest point."""
+    surface), material color sampled at the pulled-back rest point.
+    `material` selects shading parameters (graphics.materials)."""
+    if material is None:
+        from ..graphics.materials import PHONG as material
     x = ro + t_hit[:, None] * rd
 
     def f_point(p):
@@ -208,8 +212,12 @@ def shade_deformed(scene: Scene, grid: GridSpec, u_grid: jax.Array,
     ndotl = jnp.maximum(jnp.sum(n * ldir, -1), 0.0)
     h = ldir - rd
     h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
-    spec = jnp.maximum(jnp.sum(n * h, -1), 0.0) ** 32.0
-    rgb = col[:, :3] * (0.25 + 0.75 * ndotl)[:, None] + 0.3 * spec[:, None]
+    spec = jnp.maximum(jnp.sum(n * h, -1), 0.0) ** material.shininess
+    rgb = (
+        col[:, :3]
+        * (material.ambient + material.diffuse * ndotl)[:, None]
+        + material.specular * spec[:, None]
+    )
     bg = jnp.asarray(background)
     return jnp.where(hit_mask[:, None], rgb, bg[None])
 

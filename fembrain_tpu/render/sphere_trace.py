@@ -239,9 +239,14 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
 
 
 def shade(scene: Scene, ro, rd, t_hit, hit_mask,
-          light_dir=(0.577, 0.577, 0.577), background=(1.0, 1.0, 1.0)):
+          light_dir=(0.577, 0.577, 0.577), background=(1.0, 1.0, 1.0),
+          material=None):
     """Lambert + Blinn-Phong shading with field-weighted material colors
-    (reference phong shaders, data/shaders/phong.{vsh,fsh})."""
+    (reference phong shaders, data/shaders/phong.{vsh,fsh}). `material`
+    selects named shading parameters from graphics.materials (the
+    ShaderManager analog); default is the phong preset."""
+    if material is None:
+        from ..graphics.materials import PHONG as material
     x = ro + t_hit[:, None] * rd
     g = gradient(scene, x)
     n = -g * jax.lax.rsqrt(jnp.maximum(jnp.sum(g * g, -1, keepdims=True), 1e-24))
@@ -251,8 +256,12 @@ def shade(scene: Scene, ro, rd, t_hit, hit_mask,
     ndotl = jnp.maximum(jnp.sum(n * ldir, -1), 0.0)
     h = ldir - rd
     h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
-    spec = jnp.maximum(jnp.sum(n * h, -1), 0.0) ** 32.0
-    rgb = col[:, :3] * (0.25 + 0.75 * ndotl)[:, None] + 0.3 * spec[:, None]
+    spec = jnp.maximum(jnp.sum(n * h, -1), 0.0) ** material.shininess
+    rgb = (
+        col[:, :3]
+        * (material.ambient + material.diffuse * ndotl)[:, None]
+        + material.specular * spec[:, None]
+    )
     bg = jnp.asarray(background)
     return jnp.where(hit_mask[:, None], rgb, bg[None])
 
