@@ -1,16 +1,37 @@
 #!/usr/bin/env python
 """Headline benchmark: sphere-traced rays/s/chip on the flagship BlobTree.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is value / 62.208e6 — the rays/s a single chip needs to
 sphere-trace 1080p at 30 fps (the BASELINE.json north-star rate); the
 reference itself publishes no numbers (BASELINE.md).
+
+Secondary metrics (stderr JSON lines):
+  - rays_per_sec_per_chip_brain_1080p       (BASELINE config #3)
+  - coupled_fps_1080p_{ventricle,brain}     (BASELINE config #5, grid FEM
+    + RBF displacement + Pallas deformed trace, with a per-stage
+    decomposition fem/rbf/trace in ms)
+  - fem_solve_steps_per_sec                 (unstructured solver, cube)
+  - fem_grid_steps_per_sec_ventricle        (production grid-MG solver)
+  - grad_check_max_rel_err                  (1-prim sphere, autodiff vs FD)
+  - grad_check_ventricle_max_rel_err        (17-prim blend w/ cylinders)
+  - coupled_E_grad_rel_err                  (image loss -> Young's modulus
+    through custom_linear_solve + implicit hit differentiation vs FD)
 """
 from __future__ import annotations
 
 import json
 import sys
 import time
+
+
+def _timed_frames(fn, *args, iters=3):
+    """Median-free simple wall timer over a pre-compiled chained-frames
+    callable (the callable itself runs `iters` frames device-side)."""
+    float(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
@@ -59,15 +80,8 @@ def main() -> None:
         acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
         return acc
 
-    fn = jax.jit(frames)
-    float(fn(scene, ro, rd))  # compile + warmup
-
-    t0 = time.perf_counter()
-    float(fn(scene, ro, rd))
-    dt = (time.perf_counter() - t0) / iters
-
-    rays = width * height
-    rays_per_sec = rays / dt
+    dt = _timed_frames(jax.jit(frames), scene, ro, rd, iters=iters)
+    rays_per_sec = width * height / dt
     target = 62.208e6  # 1920*1080*30
     print(
         json.dumps(
@@ -85,7 +99,28 @@ def main() -> None:
         file=sys.stderr,
     )
     _brain_metric(tracer, params, width, height, iters, target)
+    _coupled_metric("ventricle", 0.14, width, height, on_tpu)
+    _coupled_metric("brain", 0.14, width, height, on_tpu)
     _secondary_metrics(on_tpu)
+    _gradient_metrics(on_tpu)
+
+
+def _load_scene(name: str):
+    from fembrain_tpu.blob.reader import load_blob
+
+    for path in (
+        f"data/models/blobtree/{name}.blob",
+        f"/root/reference/data/models/blobtree/{name}.blob",
+    ):
+        try:
+            sc = load_blob(path)
+            break
+        except FileNotFoundError:
+            continue
+    else:
+        return None
+    sc.flatten_instances()
+    return sc.pack()
 
 
 def _brain_metric(tracer, params, width, height, iters, target) -> None:
@@ -94,17 +129,12 @@ def _brain_metric(tracer, params, width, height, iters, target) -> None:
     import jax
     import jax.numpy as jnp
 
-    from fembrain_tpu.blob.reader import load_blob
     from fembrain_tpu.render.camera import Camera, generate_rays
 
-    path = "data/models/blobtree/brain.blob"
-    try:
-        sc = load_blob(path)
-    except FileNotFoundError:
-        print(f"# brain scene missing: {path}", file=sys.stderr)
+    scene = _load_scene("brain")
+    if scene is None:
+        print("# brain scene missing", file=sys.stderr)
         return
-    sc.flatten_instances()
-    scene = sc.pack()
     cam = Camera.orbit(30.0, 20.0, 8.0)
     ro, rd = generate_rays(cam, width, height)
     ro = jnp.reshape(ro, (-1, 3))
@@ -117,11 +147,7 @@ def _brain_metric(tracer, params, width, height, iters, target) -> None:
         acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
         return acc
 
-    fn = jax.jit(frames)
-    float(fn(scene, ro, rd))
-    t0 = time.perf_counter()
-    float(fn(scene, ro, rd))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _timed_frames(jax.jit(frames), scene, ro, rd, iters=iters)
     rays_per_sec = width * height / dt
     print(
         json.dumps(
@@ -136,24 +162,151 @@ def _brain_metric(tracer, params, width, height, iters, target) -> None:
     )
 
 
-def _secondary_metrics(on_tpu: bool) -> None:
-    """The other BASELINE metrics (FEM solve steps/s, grad-check max err)
-    as stderr JSON lines; the driver's contract is the single stdout line
-    from main()."""
-    import dataclasses
+def _coupled_metric(name: str, cellsize: float, width: int, height: int,
+                    on_tpu: bool) -> None:
+    """BASELINE config #5: the coupled render+deform frame at 1080p —
+    grid-structured FEM (stencil matvec + multigrid CG) -> RBF
+    displacement weights -> Pallas deformed trace, one jitted graph.
+    Emits coupled fps plus the per-stage decomposition."""
+    import numpy as np
 
     import jax
     import jax.numpy as jnp
+
+    from fembrain_tpu.fem import grid_fem as gfm
+    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+    from fembrain_tpu.render.camera import Camera, generate_rays
+    from fembrain_tpu.render.deformed import (
+        build_disp_interp,
+        coupled_step_grid_fast,
+        disp_weights_centers,
+        trace_deformed_rbf_fast,
+    )
+    from fembrain_tpu.render.sphere_trace import TraceParams
+
+    scene = _load_scene(name)
+    if scene is None:
+        print(f"# {name} scene missing", file=sys.stderr)
+        return
+    if not on_tpu:
+        cellsize = max(cellsize, 0.3)  # CPU CI: keep the mesh small
+    grid = grid_for_scene(scene, cellsize=cellsize)
+    tm = extract_tet_mesh(
+        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+    )
+    n_nodes, n_tets = int(tm.n_nodes), int(tm.n_tets)
+    nodes = np.asarray(tm.nodes)[:n_nodes]
+    tets = np.asarray(tm.tets)[:n_tets]
+    # Anchor every disjoint component (the ventricle is several lobes; a
+    # global bottom plane would leave the rest in free fall).
+    fixed = bottom_nodes_per_component(nodes, tets)
+    gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
+    interp = build_disp_interp(nodes, fixed=fixed)
+    n2g = gfm.node_to_grid_index(tm)
+    cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
+    f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
+    f_ext[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
+
+    cam = Camera.orbit(30.0, 20.0, 8.0)
+    ro, rd = generate_rays(cam, width, height)
+    ro = jnp.reshape(ro, (-1, 3))
+    rd = jnp.reshape(rd, (-1, 3))
+    params = TraceParams()
+    st0 = gf.rest_state()
+    n_frames = 3
+
+    # Stage decomposition (each stage chained device-side like the frame).
+    @jax.jit
+    def fem_only(st):
+        def body(st, _):
+            st2, _ = gfm.timestep(gf, st, f_ext)
+            return st2, None
+        st, _ = jax.lax.scan(body, st, None, length=n_frames)
+        return jnp.sum(st.q)
+
+    fem_ms = _timed_frames(fem_only, st0, iters=n_frames) * 1e3
+
+    st1, _ = jax.jit(lambda s: gfm.timestep(gf, s, f_ext))(st0)
+
+    @jax.jit
+    def rbf_only(st):
+        return disp_weights_centers(interp, st.q.reshape(-1, 3)[cgi])
+
+    w = rbf_only(st1)
+    jax.block_until_ready(w)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        w = rbf_only(st1)
+    jax.block_until_ready(w)
+    rbf_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    @jax.jit
+    def trace_only(w, o, d):
+        def body(acc, _):
+            t, _h = trace_deformed_rbf_fast(
+                scene, interp, w, o + acc * 1e-30, d, params,
+                image_hw=(height, width) if on_tpu else None,
+                need_grads=False,
+            )
+            return jnp.sum(t), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n_frames)
+        return acc
+
+    trace_ms = _timed_frames(trace_only, w, ro, rd, iters=n_frames) * 1e3
+
+    # The fused coupled frame.
+    def cframes(state, o, d):
+        def body(carry, _):
+            st, acc = carry
+            t, _hit, st2 = coupled_step_grid_fast(
+                scene, gf, interp, cgi, st, f_ext, o + acc * 1e-30, d,
+                params=params, image_hw=(height, width) if on_tpu else None,
+                use_pallas=on_tpu,
+            )
+            return (st2, jnp.sum(t)), None
+        (st, acc), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), None, length=n_frames
+        )
+        return acc
+
+    dt = _timed_frames(jax.jit(cframes), st0, ro, rd, iters=n_frames)
+    print(
+        json.dumps(
+            {
+                "metric": f"coupled_fps_1080p_{name}",
+                "value": round(1.0 / dt, 2),
+                "unit": f"fps at {width}x{height} ({n_tets} tets, "
+                        f"{scene.n_prims} prims)",
+                "frame_ms": round(dt * 1e3, 1),
+                "fem_ms": round(fem_ms, 1),
+                "rbf_ms": round(rbf_ms, 2),
+                "trace_ms": round(trace_ms, 1),
+                "vs_baseline": round((1.0 / dt) / 30.0, 4),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def _secondary_metrics(on_tpu: bool) -> None:
+    """FEM solve steps/s: the legacy unstructured solver on a truth cube
+    (round-over-round continuity) and the production grid-multigrid
+    solver on the ventricle's own 61k-tet embedded mesh."""
     import numpy as np
 
+    import jax
+    import jax.numpy as jnp
+
+    from fembrain_tpu.fem import grid_fem as gfm
     from fembrain_tpu.fem import integrator as integ
     from fembrain_tpu.fem.integrator import FemState
     from fembrain_tpu.fem.tetmesh import build_fem_mesh
     from fembrain_tpu.mesh import samples
+    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
 
-    # FEM solve steps/s on a truth cube (size scaled to backend). The sim
-    # loop runs device-resident (lax.scan chain, one readback), exactly as
-    # the app would deploy it — per-dispatch tunnel latency excluded.
     n = 10 if on_tpu else 5
     nodes, tets = samples.truth_cube(n, n, n, 0.1)
     mesh = build_fem_mesh(nodes, tets, fixed=samples.bottom_nodes(nodes))
@@ -180,7 +333,7 @@ def _secondary_metrics(on_tpu: bool) -> None:
             {
                 "metric": "fem_solve_steps_per_sec",
                 "value": round(1.0 / dt, 2),
-                "unit": f"steps/s ({mesh.n_tets} tets)",
+                "unit": f"steps/s ({mesh.n_tets} tets, unstructured)",
                 "cg_iters_mean": round(float(its.mean()), 1),
                 "cg_iters_max": int(its.max()),
             }
@@ -188,43 +341,164 @@ def _secondary_metrics(on_tpu: bool) -> None:
         file=sys.stderr,
     )
 
-    # Grad-check: autodiff vs central finite differences through the
-    # sphere tracer (BASELINE 'grad-check max err').
-    from fembrain_tpu.blob.reader import load_blob
+    # Production grid solver at the app's ventricle mesh.
+    scene = _load_scene("ventricle")
+    cellsize = 0.14 if on_tpu else 0.3
+    grid = grid_for_scene(scene, cellsize=cellsize)
+    tm = extract_tet_mesh(
+        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+    )
+    nvn = int(tm.n_nodes)
+    vnodes = np.asarray(tm.nodes)[:nvn]
+    vtets = np.asarray(tm.tets)[: int(tm.n_tets)]
+    fixed = bottom_nodes_per_component(vnodes, vtets)
+    gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
+    n2g = gfm.node_to_grid_index(tm)
+    fg = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
+    fg[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    fg = jnp.asarray(fg.reshape(*grid.dims, 3))
+
+    def grun(st):
+        def one(st, _):
+            st2, it = gfm.timestep(gf, st, fg)
+            return st2, it
+        st, its = jax.lax.scan(one, st, None, length=steps)
+        return jnp.sum(st.q), its
+
+    grunj = jax.jit(grun)
+    s, its = grunj(gf.rest_state())
+    float(s)
+    t0 = time.perf_counter()
+    s, its = grunj(gf.rest_state())
+    float(s)
+    dt = (time.perf_counter() - t0) / steps
+    its = np.asarray(its)
+    print(
+        json.dumps(
+            {
+                "metric": "fem_grid_steps_per_sec_ventricle",
+                "value": round(1.0 / dt, 2),
+                "unit": f"steps/s ({int(tm.n_tets)} tets, grid+multigrid)",
+                "cg_iters_mean": round(float(its.mean()), 1),
+                "cg_iters_max": int(its.max()),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def _gradient_metrics(on_tpu: bool) -> None:
+    """Gradient fidelity (BASELINE 'grad-check max err'): the 1-prim
+    sphere (continuity with r1/r2), the 17-prim ventricle (cylinders +
+    blends through the implicit-hit path), and the coupled E-gradient
+    through the FEM solve (custom_linear_solve)."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
     from fembrain_tpu.render.camera import Camera, generate_rays
     from fembrain_tpu.render.sphere_trace import trace
 
-    scene = load_blob(
-        "/root/reference/data/models/blobtree/sphere.blob"
-    ).pack()
-    cam = Camera.orbit(15.0, 10.0, 2.0)
-    ro, rd = generate_rays(cam, 16, 16)
-    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    def scene_grad_check(name: str, zoom: float):
+        scene = _load_scene(name)
+        cam = Camera.orbit(15.0, 10.0, zoom)
+        ro, rd = generate_rays(cam, 16, 16)
+        ro_, rd_ = ro.reshape(-1, 3), rd.reshape(-1, 3)
 
-    def loss(pos):
-        s = dataclasses.replace(scene, prim_pos=pos)
-        t, hit = trace(s, ro, rd)
-        return jnp.sum(jnp.where(hit, t, 0.0))
+        def loss(pos):
+            s = dataclasses.replace(scene, prim_pos=pos)
+            t, hit = trace(s, ro_, rd_)
+            return jnp.sum(jnp.where(hit, t, 0.0))
 
-    g = np.asarray(jax.jit(jax.grad(loss))(scene.prim_pos))[0]
-    loss_j = jax.jit(loss)
-    eps = 1e-3
-    base = np.asarray(scene.prim_pos)
-    err = 0.0
-    for k in range(3):
-        dp, dm = base.copy(), base.copy()
-        dp[0, k] += eps
-        dm[0, k] -= eps
-        fd = (
-            float(loss_j(jnp.asarray(dp))) - float(loss_j(jnp.asarray(dm)))
-        ) / (2 * eps)
-        err = max(err, float(abs(g[k] - fd)) / max(1.0, abs(fd)))
+        g = np.asarray(jax.jit(jax.grad(loss))(scene.prim_pos))[0]
+        loss_j = jax.jit(loss)
+        eps = 1e-3
+        base = np.asarray(scene.prim_pos)
+        err = 0.0
+        for k in range(3):
+            dp, dm = base.copy(), base.copy()
+            dp[0, k] += eps
+            dm[0, k] -= eps
+            fd = (
+                float(loss_j(jnp.asarray(dp)))
+                - float(loss_j(jnp.asarray(dm)))
+            ) / (2 * eps)
+            err = max(err, float(abs(g[k] - fd)) / max(1.0, abs(fd)))
+        return err
+
     print(
         json.dumps(
             {
                 "metric": "grad_check_max_rel_err",
-                "value": round(err, 6),
-                "unit": "relative",
+                "value": round(scene_grad_check("sphere", 2.0), 6),
+                "unit": "relative (sphere, 1 prim)",
+            }
+        ),
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "grad_check_ventricle_max_rel_err",
+                "value": round(scene_grad_check("ventricle", 8.0), 6),
+                "unit": "relative (ventricle, 17 prims)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    # Coupled E-gradient: d(image loss)/d(E_scale) through the implicit
+    # FEM solve + deformed trace vs central finite differences.
+    from fembrain_tpu.fem import grid_fem as gfm
+    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+    from fembrain_tpu.render.deformed import (
+        build_disp_interp,
+        coupled_step_grid_fast,
+    )
+
+    scene = _load_scene("sphere")
+    grid = grid_for_scene(scene, cellsize=0.3)
+    tm = extract_tet_mesh(
+        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+    )
+    nodes = np.asarray(tm.nodes)[: int(tm.n_nodes)]
+    tets = np.asarray(tm.tets)[: int(tm.n_tets)]
+    fixed = bottom_nodes_per_component(nodes, tets)
+    gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
+    interp = build_disp_interp(nodes, n_centers=64, fixed=fixed)
+    n2g = gfm.node_to_grid_index(tm)
+    cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
+    f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
+    f_ext[n2g, 1] = -200.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
+
+    cam = Camera.orbit(30.0, 20.0, 5.0)
+    ro, rd = generate_rays(cam, 24, 18)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    def loss(es):
+        t, hit, _ = coupled_step_grid_fast(
+            scene, gf, interp, cgi, gf.rest_state(), f_ext, ro, rd,
+            E_scale=es, differentiable=True, use_pallas=False,
+        )
+        return jnp.sum(jnp.where(hit, t, 0.0))
+
+    lj = jax.jit(loss)
+    g = float(jax.jit(jax.grad(loss))(jnp.float32(1.0)))
+    eps = 3e-2
+    fd = (float(lj(jnp.float32(1 + eps))) - float(lj(jnp.float32(1 - eps)))
+          ) / (2 * eps)
+    rel = abs(g - fd) / max(1e-9, abs(fd))
+    print(
+        json.dumps(
+            {
+                "metric": "coupled_E_grad_rel_err",
+                "value": round(rel, 4),
+                "unit": f"relative (autodiff {g:.4g} vs FD {fd:.4g})",
             }
         ),
         file=sys.stderr,

@@ -125,6 +125,14 @@ class GridFem:
     x0: jax.Array      # [6,12] rest corner positions within a cell
     kdiag: jax.Array   # [3,3,X*Y*Z] linear diag blocks (fallback prec)
     levels: tuple[GridLevel, ...]
+    # Coarse-level operator inverse precomputed on the HOST for the
+    # default (mass_coef, stiff_coef): jnp.linalg.inv of even a 336x336
+    # matrix costs ~10s of ms per step on TPU. Rebuilt in-graph only when
+    # a step uses non-default h/damping.
+    coarse_inv: jax.Array | None = None
+    coarse_coefs: tuple[float, float] = dataclasses.field(
+        metadata=dict(static=True), default=(0.0, 0.0)
+    )
     origin: tuple[float, float, float] = dataclasses.field(
         metadata=dict(static=True), default=(0.0, 0.0, 0.0)
     )
@@ -427,15 +435,14 @@ def _smooth(lvl, mc, sc, inv_b, r, z, sweeps):
     return z
 
 
-def mg_setup(levels: tuple[GridLevel, ...], mc, sc):
+def mg_setup(levels: tuple[GridLevel, ...], mc, sc, coarse_inv=None):
     """Per-solve preconditioner setup (hoisted out of the per-CG-iteration
     V-cycle): smoother inverse blocks per level + the dense inverse of the
-    coarsest-level operator."""
+    coarsest-level operator (pass the host-precomputed GridFem.coarse_inv
+    when the step uses the default coefficients)."""
     inv_bs = [_level_inv_blocks(l, mc, sc) for l in levels]
     coarse = levels[-1]
-    coarse_inv = None
-    if coarse.k_dense is not None:
-        n = int(np.prod(coarse.dims))
+    if coarse_inv is None and coarse.k_dense is not None:
         mass3 = jnp.tile(coarse.mass.reshape(-1), 3)
         fr = coarse.free_dense
         a = sc * coarse.k_dense + jnp.diag(mc * mass3 * fr + (1.0 - fr))
@@ -610,6 +617,10 @@ def build_grid_fem(
     # launch-bound smoother sweeps and is an exact coarse solve).
     coarse = levels[-1]
     d_coarse = 3 * int(np.prod(coarse.dims))
+    coarse_inv = None
+    mc0 = 1.0 + DEFAULT_TIMESTEP * DEFAULT_DAMPING_MASS
+    sc0 = (DEFAULT_TIMESTEP * DEFAULT_DAMPING_STIFFNESS
+           + DEFAULT_TIMESTEP * DEFAULT_TIMESTEP)
     if d_coarse <= _DENSE_COARSE_MAX_DOF:
         kd, fd = _assemble_dense(
             np.asarray(coarse.cellw, bool).reshape(
@@ -623,6 +634,9 @@ def build_grid_fem(
             k_dense=jnp.asarray(kd, dtype),
             free_dense=jnp.asarray(fd, dtype),
         )
+        mass3 = np.tile(np.asarray(levels[-1].mass, np.float64).reshape(-1), 3)
+        a = sc0 * kd + np.diag(mc0 * mass3 * fd + (1.0 - fd))
+        coarse_inv = jnp.asarray(np.linalg.inv(a), dtype)
 
     return GridFem(
         cellw=jnp.asarray(cell_mask.reshape(-1), dtype),
@@ -634,6 +648,8 @@ def build_grid_fem(
         x0=jnp.asarray(x0.reshape(6, 12), dtype),
         kdiag=jnp.asarray(kdiag, dtype),
         levels=tuple(levels),
+        coarse_inv=coarse_inv,
+        coarse_coefs=(float(mc0), float(sc0)),
         origin=tuple(float(v) for v in grid.lo),
         dims=dims,
         cellsize=float(grid.cellsize),
@@ -718,7 +734,14 @@ def timestep(
         return jnp.where(free, out, v)
 
     if precond == "mg" and gf.levels:
-        setup = mg_setup(gf.levels, mass_coef, stiff_coef)
+        pre_inv = None
+        if (
+            gf.coarse_inv is not None
+            and abs(mass_coef - gf.coarse_coefs[0]) < 1e-12
+            and abs(stiff_coef - gf.coarse_coefs[1]) < 1e-12
+        ):
+            pre_inv = gf.coarse_inv
+        setup = mg_setup(gf.levels, mass_coef, stiff_coef, pre_inv)
 
         def prec(r):
             return vcycle(gf.levels, mass_coef, stiff_coef, r, setup)

@@ -118,3 +118,46 @@ def bottom_nodes(nodes: np.ndarray, tol: float = 1e-6) -> np.ndarray:
     """Indices of nodes at the minimum y (typical fixed set)."""
     ymin = nodes[:, 1].min()
     return np.where(nodes[:, 1] <= ymin + tol)[0]
+
+
+def bottom_nodes_per_component(nodes: np.ndarray, tets: np.ndarray,
+                               tol: float = 1e-3) -> np.ndarray:
+    """Indices anchoring EVERY connected component at its own lowest
+    nodes. Anchoring only the global minimum-y plane leaves disjoint
+    parts (the ventricle blob is several lobes) entirely unconstrained —
+    free fall, unbounded |q|, and a singular K_eff restrained only by
+    mass. Uses the native union-find (native.components) with a numpy
+    fallback."""
+    from .. import native
+
+    tets = np.asarray(tets, np.int64)
+    comp = None
+    res = native.components(tets, n_nodes=len(nodes))
+    if res is not None:
+        _, labels = res  # per-TET component labels
+        comp = np.full(len(nodes), -1, np.int64)
+        comp[tets.reshape(-1)] = np.repeat(labels, 4)
+    else:
+        # Union-find over tets (numpy path).
+        parent = np.arange(len(nodes))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for t in tets:
+            r = find(t[0])
+            for v in t[1:]:
+                parent[find(v)] = r
+        comp = np.asarray([find(i) for i in range(len(nodes))])
+
+    out = []
+    for c in np.unique(comp):
+        if c < 0:
+            continue
+        idx = np.where(comp == c)[0]
+        ymin = nodes[idx, 1].min()
+        out.append(idx[nodes[idx, 1] <= ymin + tol])
+    return np.concatenate(out) if out else np.zeros(0, np.int64)

@@ -497,7 +497,8 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
                             max_disp: float = 0.5,
                             image_hw: tuple[int, int] | None = None,
                             interpret: bool = False,
-                            fp_iters: int = FIXED_POINT_ITERS):
+                            fp_iters: int = FIXED_POINT_ITERS,
+                            need_grads: bool = True):
     """RBF-deformed sphere trace at Pallas tile speed.
 
     The forward march runs inside the additive Pallas kernel with the
@@ -560,6 +561,13 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
 
     raw.defvjp(raw_fwd, raw_bwd)
     t_root, found = raw(scene, w, ro, rd)
+
+    if not need_grads:
+        # Forward rendering: the kernel already bisects + secants the root
+        # against the deformed field in-kernel, so the external
+        # implicit-diff correction below (one more full deformed-field
+        # pass + a vmapped gradient over every ray) buys nothing.
+        return t_root, found
 
     # Implicit differentiation at the root (matches trace_deformed_rbf).
     iso = params.iso
@@ -627,6 +635,7 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
         t, hit = trace_deformed_rbf_fast(
             scene, interp, w, ro, rd, params, image_hw=image_hw,
             max_disp=max_disp, fp_iters=fp_iters,
+            need_grads=differentiable,
         )
     else:
         t, hit = trace_deformed_rbf(
@@ -674,6 +683,7 @@ def coupled_step_grid_fast(scene: Scene, gf, interp: DispInterp,
         t, hit = trace_deformed_rbf_fast(
             scene, interp, w, ro, rd, params, image_hw=image_hw,
             max_disp=max_disp, fp_iters=fp_iters,
+            need_grads=differentiable,
         )
     else:
         t, hit = trace_deformed_rbf(
@@ -697,6 +707,26 @@ def max_disp_bound(interp: DispInterp, w: jax.Array,
     inflation actually bounds the frame's displacements (ADVICE r2 #4)."""
     u_c = jnp.sqrt(jnp.sum(q[interp.center_nodes] ** 2, -1))
     return jnp.max(u_c) + disp_lipschitz(interp, w) * interp.fill_dist
+
+
+def coupling_telemetry(interp: DispInterp, w: jax.Array,
+                       q: jax.Array) -> dict:
+    """Per-frame coupling health (VERDICT r2 #7): the displacement
+    Lipschitz bound L, the adaptive-march shrink factor clamp(1-L) (0
+    means the trace silently degraded to fixed stepping), and the
+    max-|u| bound that must stay under the static max_disp inflation.
+    All traced scalars — log them, don't branch on them."""
+    L = disp_lipschitz(interp, w)
+    # q: full nodal state [N,3], or already-gathered center rows [M,3].
+    u = q if q.shape[0] == interp.centers.shape[0] else (
+        q[interp.center_nodes]
+    )
+    u_c = jnp.sqrt(jnp.sum(u ** 2, -1))
+    return {
+        "disp_lipschitz": L,
+        "march_shrink": jnp.clip(1.0 - L, 0.0, 1.0),
+        "max_disp_bound": jnp.max(u_c) + L * interp.fill_dist,
+    }
 
 
 def coupled_step(scene: Scene, fem_mesh, grid: GridSpec,

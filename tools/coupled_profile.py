@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--scene", default="ventricle")
     ap.add_argument("--cellsize", type=float, default=0.14)
     ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--unstructured", action="store_true",
+                    help="also profile the legacy unstructured-solver stages (slow)")
     args = ap.parse_args()
 
     import numpy as np
@@ -73,7 +75,10 @@ def main() -> None:
     n_nodes, n_tets = int(tm.n_nodes), int(tm.n_tets)
     nodes = np.asarray(tm.nodes)[:n_nodes]
     tets = np.asarray(tm.tets)[:n_tets]
-    fixed = nodes[:, 1] < nodes[:, 1].min() + 1e-3
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+    # Anchor EVERY disjoint component (the ventricle is several
+    # lobes; a global bottom plane leaves the rest in free fall).
+    fixed = bottom_nodes_per_component(nodes, tets)
     mesh = build_fem_mesh(nodes, tets, fixed=fixed)
     print(f"fem nodes={n_nodes} tets={n_tets}", flush=True)
     interp = build_disp_interp(nodes, fixed=fixed)
@@ -90,7 +95,12 @@ def main() -> None:
     params = TraceParams()
     st0 = FemState.rest(mesh)
 
-    # ---- stage 1: FEM step alone, both modes ----
+    if not args.unstructured:
+        _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
+                     fixed, interp, ro, rd, params, width, height)
+        return
+
+    # ---- stage 1: FEM step alone, both modes (legacy solver) ----
     @jax.jit
     def fem_diff(st):
         st2, it = integ.timestep(mesh, st, f_ext, differentiable=True)
@@ -192,13 +202,60 @@ def main() -> None:
             flush=True,
         )
 
-    # ---- GRID-FEM coupled frame (the production path) ----
+    _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
+                 fixed, interp, ro, rd, params, width, height)
+
+
+def _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
+                 fixed, interp, ro, rd, params, width, height):
+    """GRID-FEM coupled frame (the production path): stage
+    decomposition + fused frames at two CG tolerances."""
+    import time
+    from fembrain_tpu.render.deformed import (
+        coupled_step_grid_fast, disp_weights_centers,
+        trace_deformed_rbf_fast, coupling_telemetry,
+    )
+
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     n2g = gfm.node_to_grid_index(tm)
     cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
     f_ext_g = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
-    f_ext_g[n2g] = np.asarray(f_ext, np.float32)
+    f_ext_g[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext_g = jnp.asarray(f_ext_g.reshape(*grid.dims, 3))
+
+    # ---- stage decomposition ----
+    st0 = gf.rest_state()
+
+    @jax.jit
+    def gstep(st):
+        return gfm.timestep(gf, st, f_ext_g)
+
+    dt, (st1, it) = timed(gstep, st0)
+    print(f"grid fem step:    {dt*1e3:8.1f} ms  iters={int(it)}",
+          flush=True)
+
+    @jax.jit
+    def wfn(st):
+        return disp_weights_centers(
+            interp, st.q.reshape(-1, 3)[cgi]
+        )
+
+    dt, w = timed(wfn, st1)
+    print(f"rbf weights:      {dt*1e3:8.2f} ms", flush=True)
+    tele = coupling_telemetry(interp, w, st1.q.reshape(-1, 3)[cgi])
+    tele = {k: round(float(v), 4) for k, v in tele.items()}
+    print(f"telemetry: {tele}", flush=True)
+
+    @jax.jit
+    def tr(w, ro, rd):
+        return trace_deformed_rbf_fast(
+            scene, interp, w, ro, rd, params, image_hw=(height, width),
+            need_grads=False,
+        )
+
+    dt, _ = timed(tr, w, ro, rd)
+    print(f"deformed trace (fwd, {width}x{height}): {dt*1e3:8.1f} ms",
+          flush=True)
 
     def gframes(state, ro, rd, cg_tol):
         def body(carry, _):

@@ -49,7 +49,9 @@ def main() -> None:
     )
     n_nodes, n_tets = int(tm.n_nodes), int(tm.n_tets)
     nodes = np.asarray(tm.nodes)[:n_nodes]
-    fixed = nodes[:, 1] < nodes[:, 1].min() + 1e-3
+    tets_np = np.asarray(tm.tets)[:n_tets]
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+    fixed = bottom_nodes_per_component(nodes, tets_np)
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     n2g = gfm.node_to_grid_index(tm)
     print(
