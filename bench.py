@@ -200,13 +200,13 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     tets = np.asarray(tm.tets)[:n_tets]
     # Anchor every disjoint component (the ventricle is several lobes; a
     # global bottom plane would leave the rest in free fall).
-    fixed = bottom_nodes_per_component(nodes, tets)
+    fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     interp = build_disp_interp(nodes, fixed=fixed)
     n2g = gfm.node_to_grid_index(tm)
     cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
     f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
-    f_ext[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    f_ext[n2g, 1] = -500.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
 
     cam = Camera.orbit(30.0, 20.0, 8.0)
@@ -351,11 +351,11 @@ def _secondary_metrics(on_tpu: bool) -> None:
     nvn = int(tm.n_nodes)
     vnodes = np.asarray(tm.nodes)[:nvn]
     vtets = np.asarray(tm.tets)[: int(tm.n_tets)]
-    fixed = bottom_nodes_per_component(vnodes, vtets)
+    fixed = bottom_nodes_per_component(vnodes, vtets, frac=0.25)
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     n2g = gfm.node_to_grid_index(tm)
     fg = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
-    fg[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    fg[n2g, 1] = -500.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     fg = jnp.asarray(fg.reshape(*grid.dims, 3))
 
     def grun(st):
@@ -467,7 +467,7 @@ def _gradient_metrics(on_tpu: bool) -> None:
     )
     nodes = np.asarray(tm.nodes)[: int(tm.n_nodes)]
     tets = np.asarray(tm.tets)[: int(tm.n_tets)]
-    fixed = bottom_nodes_per_component(nodes, tets)
+    fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     interp = build_disp_interp(nodes, n_centers=64, fixed=fixed)
     n2g = gfm.node_to_grid_index(tm)

@@ -121,7 +121,8 @@ def bottom_nodes(nodes: np.ndarray, tol: float = 1e-6) -> np.ndarray:
 
 
 def bottom_nodes_per_component(nodes: np.ndarray, tets: np.ndarray,
-                               tol: float = 1e-3) -> np.ndarray:
+                               tol: float = 1e-3,
+                               frac: float = 0.0) -> np.ndarray:
     """Indices anchoring EVERY connected component at its own lowest
     nodes. Anchoring only the global minimum-y plane leaves disjoint
     parts (the ventricle blob is several lobes) entirely unconstrained —
@@ -158,6 +159,10 @@ def bottom_nodes_per_component(nodes: np.ndarray, tets: np.ndarray,
         if c < 0:
             continue
         idx = np.where(comp == c)[0]
-        ymin = nodes[idx, 1].min()
-        out.append(idx[nodes[idx, 1] <= ymin + tol])
+        ymin, ymax = nodes[idx, 1].min(), nodes[idx, 1].max()
+        # frac > 0 anchors the bottom slab of each component's height
+        # (slender lobes anchored only at one plane of vertices sag
+        # enormously under gravity — not a useful benchmark state).
+        cut = ymin + max(tol, frac * (ymax - ymin))
+        out.append(idx[nodes[idx, 1] <= cut])
     return np.concatenate(out) if out else np.zeros(0, np.int64)

@@ -40,6 +40,7 @@ from .deformed import (
     FIXED_POINT_ITERS,
     build_disp_interp,
     disp_lipschitz,
+    disp_slack,
     trace_deformed_rbf,
 )
 from .pallas_trace import trace_pallas_image_sharded, trace_pallas_sharded
@@ -124,7 +125,8 @@ def coupled_step_sharded(scene: Scene, cs: CoupledSharded,
             1.0 - jax.lax.stop_gradient(disp_lipschitz(cs.interp, w)),
             0.0, 1.0,
         )
-        disp = (cs.interp.centers, w, shrink, max_disp, fp_iters)
+        slack = jax.lax.stop_gradient(disp_slack(cs.interp, w))
+        disp = (cs.interp.centers, w, shrink, slack, max_disp, fp_iters)
         if image_hw is not None:
             t, hit = trace_pallas_image_sharded(
                 scene, ro, rd, image_hw[0], image_hw[1], device_mesh,

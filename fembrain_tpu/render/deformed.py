@@ -354,6 +354,19 @@ def disp_lipschitz(interp: DispInterp, w: jax.Array) -> jax.Array:
     )
 
 
+def disp_slack(interp: DispInterp, w: jax.Array) -> jax.Array:
+    """2 * (bound on max |u| over the tissue): u interpolates its center
+    values exactly, so max|u| <= max_j |u(c_j)| + L * fill_dist. Feeds
+    the subtractive deformed-march step bound d - slack, which beats the
+    multiplicative (1 - L) d in the far field where the global Lipschitz
+    bound L is loose (see pallas_trace._march_tile)."""
+    u_c = sample_disp_rbf(interp, w, interp.centers)
+    return 2.0 * (
+        jnp.max(jnp.sqrt(jnp.sum(u_c ** 2, -1)))
+        + disp_lipschitz(interp, w) * interp.fill_dist
+    )
+
+
 def pull_back_rbf(interp: DispInterp, w: jax.Array, y: jax.Array,
                   iters: int = FIXED_POINT_ITERS) -> jax.Array:
     """Invert phi(x) = x + u(x) with u from the RBF interpolant."""
@@ -411,6 +424,7 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
     shrink = jnp.clip(
         1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
     )
+    slack = jax.lax.stop_gradient(disp_slack(interp, w))
 
     def eval_f(t):
         return deformed_field_rbf(
@@ -421,8 +435,11 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
         if not adaptive:
             return base_step
         r = support_radius_bound(f)
+        d = (r - r_iso) * inv_stretch
+        # Max of the two sound deformed-space bounds (see
+        # pallas_trace._march_tile): (1-L) d and d - 2 max|u|.
         return jnp.maximum(
-            base_step, 0.95 * (r - r_iso) * inv_stretch * shrink
+            base_step, 0.95 * jnp.maximum(shrink * d, d - slack)
         )
 
     f0 = eval_f(t_enter)
@@ -533,10 +550,11 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
     shrink = jnp.clip(
         1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
     )
+    slack = jax.lax.stop_gradient(disp_slack(interp, w))
 
     @jax.custom_vjp
     def raw(scene_, w_, ro_, rd_):
-        disp = (interp.centers, w_, shrink, max_disp, fp_iters)
+        disp = (interp.centers, w_, shrink, slack, max_disp, fp_iters)
         if image_hw is not None:
             return trace_pallas_image(
                 scene_, ro_, rd_, image_hw[0], image_hw[1], params,

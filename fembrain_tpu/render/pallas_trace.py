@@ -53,10 +53,20 @@ def _scene_from_refs(scene: Scene, refs) -> Scene:
 
 def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 inv_stretch: float, base_step, ro, rd,
-                t_enter, t_exit, alive0, tile_cond: bool):
+                t_enter, t_exit, alive0, tile_cond: bool,
+                shrink=None, slack=None):
     """Shared tile march: sphere-trace [1, TILE] ray rows to the iso
     crossing with tile-local early exit, then refine the bracket. eval_f
-    maps a [1, TILE] t-row to field-minus-iso. Returns (t_root, found)."""
+    maps a [1, TILE] t-row to field-minus-iso. Returns (t_root, found).
+
+    Deformed-field marches pass (shrink, slack): the safe deformed-space
+    step is max of TWO sound under-bounds of the rest-space support
+    distance d = (r - r_iso) * inv_stretch mapped through phi:
+      multiplicative  (1 - L) d            (Lipschitz contraction), and
+      subtractive     d - 2 max|u|         (|phi(a)-phi(b)| >=
+                                            |a-b| - |u(a)| - |u(b)|).
+    The subtractive bound dominates in the far field where the loose
+    global Lipschitz constant would throttle exactly the biggest steps."""
     iso = params.iso
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
 
@@ -81,7 +91,10 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 # Shared piecewise bound (sphere_trace.support_radius_bound)
                 # so the XLA and Pallas marches take identical steps.
                 r = support_radius_bound(f + iso)
-                dt = jnp.maximum(base_step, 0.95 * (r - r_iso) * inv_stretch)
+                d = (r - r_iso) * inv_stretch
+                if shrink is not None:
+                    d = jnp.maximum(shrink * d, d - slack)
+                dt = jnp.maximum(base_step, 0.95 * d)
             else:
                 dt = base_step
             t_new = jnp.minimum(t + dt, t_exit)
@@ -268,7 +281,11 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     # rays can ever reach (statically-live blocks). Sound for the step
     # bound — prims outside the segment hull can never be crossed here —
     # and tighter than the global max on mixed-scale scenes (brain).
+    # Packed row: (raw inv stretch, deformed shrink, deformed slack) —
+    # (.., 1, 0) for rest traces, so the bound reduces to the rest bound.
     inv_stretch = stretch[0, 0, 0]
+    shrink_s = stretch[0, 0, 1]
+    slack_s = stretch[0, 0, 2]
     present = scene.prim_types_present
     B = PRIM_BLOCK
 
@@ -378,6 +395,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     t_root, found = _march_tile(
         eval_f, params, adaptive, inv_stretch, base_step,
         ro, rd, t_enter, t_exit, alive0, tile_cond,
+        shrink=shrink_s, slack=slack_s,
     )
     t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
     hit_out[0] = found
@@ -470,19 +488,21 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
 
     disp — optional RBF displacement spec for the deformed-field trace
     (north-star coupling): (centers [M,3], w [M+4,3] biharmonic weights,
-    shrink traced-scalar = clamp(1 - Lipschitz(u)), max_disp static float,
-    fp_iters static int). Requires the additive fast path (the caller —
+    shrink traced-scalar = clamp(1 - Lipschitz(u)), slack traced-scalar =
+    2*max|u| bound, max_disp static float, fp_iters static int). Requires
+    the additive fast path (the caller —
     render.deformed.trace_deformed_rbf_fast — falls back otherwise)."""
     from .sphere_trace import prim_interval
 
     if disp is not None:
         assert scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0
-        centers, w_rbf, shrink, max_disp, fp_iters = disp
+        centers, w_rbf, shrink, slack, max_disp, fp_iters = disp
         bracket_margin = 0.05 + max_disp
     else:
         bracket_margin = 0.05
         max_disp = 0.0
         fp_iters = 0
+        shrink, slack = 1.0, 0.0
 
     n = ro.shape[0]
     n_pad = -(-n // tile) * tile
@@ -552,14 +572,24 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         tile_stretch = jnp.max(
             jnp.where(live > 0, blk_stretch[None, :], 0.0), -1
         )
-        tile_inv_stretch = (
+        tile_inv = (
             1.0 / jnp.maximum(tile_stretch, 1e-6)
-        )[:, None, None].astype(jnp.float32)
-        if disp is not None:
-            # Deformed step bound: |phi(a)-phi(b)| >= (1-L)|a-b|, so the
-            # rest-space support step shrinks by the traced (1-L) factor
-            # (see render.deformed.trace_deformed_rbf).
-            tile_inv_stretch = tile_inv_stretch * shrink
+        ).astype(jnp.float32)
+        # Pack (raw inv stretch, shrink, slack) per tile — the deformed
+        # march takes max(shrink*d, d - slack) of the two sound step
+        # bounds (see _march_tile; render.deformed.trace_deformed_rbf).
+        tile_inv_stretch = jnp.stack(
+            [
+                tile_inv,
+                jnp.broadcast_to(
+                    jnp.asarray(shrink, jnp.float32), tile_inv.shape
+                ),
+                jnp.broadcast_to(
+                    jnp.asarray(slack, jnp.float32), tile_inv.shape
+                ),
+            ],
+            axis=-1,
+        )[:, None, :]                                  # [tiles, 1, 3]
         boxes = jnp.concatenate([blk_lo, blk_hi], -1)  # [nb, 6]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -570,7 +600,7 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             (1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
         stretch_spec = pl.BlockSpec(
-            (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            (1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
         out_shape_ = [
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
@@ -762,8 +792,10 @@ def trace_pallas_sharded(scene: Scene, ro: jax.Array, rd: jax.Array,
     # Traced leaves of the displacement spec travel as explicit replicated
     # args (closing over tracers inside shard_map is fragile); the static
     # tail (max_disp, fp_iters) stays in the closure.
-    disp_arrs = () if disp is None else tuple(disp[:3])
-    disp_tail = () if disp is None else tuple(disp[3:])
+    # Traced leaves: centers, weights, shrink, slack; static tail:
+    # (max_disp, fp_iters).
+    disp_arrs = () if disp is None else tuple(disp[:4])
+    disp_tail = () if disp is None else tuple(disp[4:])
 
     @partial(
         shard_map,

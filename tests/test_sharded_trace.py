@@ -88,7 +88,8 @@ def test_sharded_deformed_disp_matches():
     )
     w = disp_weights(interp, q)
     shrink = jnp.asarray(0.9, jnp.float32)
-    disp = (interp.centers, w, shrink, 0.1, 2)
+    slack = jnp.asarray(0.05, jnp.float32)
+    disp = (interp.centers, w, shrink, slack, 0.1, 2)
     mesh = sh.make_mesh(8)
     t1, h1 = trace_pallas(scene, ro, rd, interpret=True, tile=TILE,
                           disp=disp)

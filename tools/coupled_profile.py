@@ -78,7 +78,7 @@ def main() -> None:
     from fembrain_tpu.mesh.samples import bottom_nodes_per_component
     # Anchor EVERY disjoint component (the ventricle is several
     # lobes; a global bottom plane leaves the rest in free fall).
-    fixed = bottom_nodes_per_component(nodes, tets)
+    fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
     mesh = build_fem_mesh(nodes, tets, fixed=fixed)
     print(f"fem nodes={n_nodes} tets={n_tets}", flush=True)
     interp = build_disp_interp(nodes, fixed=fixed)
@@ -220,7 +220,7 @@ def _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
     n2g = gfm.node_to_grid_index(tm)
     cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
     f_ext_g = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
-    f_ext_g[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    f_ext_g[n2g, 1] = -500.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext_g = jnp.asarray(f_ext_g.reshape(*grid.dims, 3))
 
     # ---- stage decomposition ----

@@ -51,7 +51,7 @@ def main() -> None:
     nodes = np.asarray(tm.nodes)[:n_nodes]
     tets_np = np.asarray(tm.tets)[:n_tets]
     from fembrain_tpu.mesh.samples import bottom_nodes_per_component
-    fixed = bottom_nodes_per_component(nodes, tets_np)
+    fixed = bottom_nodes_per_component(nodes, tets_np, frac=0.25)
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     n2g = gfm.node_to_grid_index(tm)
     print(
@@ -61,7 +61,7 @@ def main() -> None:
     )
 
     f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
-    f_ext[n2g, 1] = -100.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    f_ext[n2g, 1] = -500.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
     st0 = gf.rest_state()
 
