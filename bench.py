@@ -214,8 +214,21 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     ro = jnp.reshape(ro, (-1, 3))
     rd = jnp.reshape(rd, (-1, 3))
     params = TraceParams()
-    st0 = gf.rest_state()
     n_frames = 3
+    bound_pts = jnp.asarray(nodes[:: max(1, len(nodes) // 4096)])
+
+    # Settle to quasi-static sag (untimed): frames from rest are a
+    # gravity transient with L > 1 that zeroes the adaptive march.
+    @jax.jit
+    def settle(st):
+        def body(st, _):
+            st2, _ = gfm.timestep(gf, st, f_ext)
+            return st2, None
+        st, _ = jax.lax.scan(body, st, None, length=40)
+        return st
+
+    st0 = settle(gf.rest_state())
+    jax.block_until_ready(st0.q)
 
     # Stage decomposition (each stage chained device-side like the frame).
     @jax.jit
@@ -248,7 +261,7 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
             t, _h = trace_deformed_rbf_fast(
                 scene, interp, w, o + acc * 1e-30, d, params,
                 image_hw=(height, width) if on_tpu else None,
-                need_grads=False,
+                need_grads=False, bound_pts=bound_pts,
             )
             return jnp.sum(t), None
         acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n_frames)
@@ -263,7 +276,7 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
             t, _hit, st2 = coupled_step_grid_fast(
                 scene, gf, interp, cgi, st, f_ext, o + acc * 1e-30, d,
                 params=params, image_hw=(height, width) if on_tpu else None,
-                use_pallas=on_tpu,
+                use_pallas=on_tpu, bound_pts=bound_pts,
             )
             return (st2, jnp.sum(t)), None
         (st, acc), _ = jax.lax.scan(

@@ -35,7 +35,13 @@ from ..mesh.polygonize import GridSpec
 from ..ops.field import field, field_and_color
 from .sphere_trace import TraceParams, _ray_box
 
-FIXED_POINT_ITERS = 4
+# Pull-back fixed-point iteration count. The inversion error is
+# O(L^k |u|) per iteration; at soft-tissue strains (L ~ 0.1-0.3) the
+# measured hit error is dominated by the RBF FIT error, not the
+# inversion — the round-3 fidelity study (tools/rbf_fidelity.py) shows
+# identical hit error/agreement for k = 1, 2, 4 while the 1080p deformed
+# trace costs 95/154/272 ms. k = 2 keeps a safety margin at larger L.
+FIXED_POINT_ITERS = 2
 
 
 def displacement_grid(grid: GridSpec, grid_to_node: jax.Array,
@@ -367,6 +373,37 @@ def disp_slack(interp: DispInterp, w: jax.Array) -> jax.Array:
     )
 
 
+def disp_bounds_sampled(interp: DispInterp, w: jax.Array,
+                        pts: jax.Array,
+                        l_safety: float = 1.25,
+                        u_safety: float = 1.15):
+    """(shrink, slack) march-step factors from DENSE SAMPLING of the
+    interpolant at `pts` (mesh nodes, ~cellsize spacing).
+
+    The certified global bounds (disp_lipschitz / disp_slack) assume all
+    center gradients align — on real fits sum|w_k| lands at L > 1 while
+    the true max|grad u| is ~0.1, which zeroes the adaptive march
+    (measured: the settled ventricle sag traces 1.9x slower than rest).
+    Here L and max|u| are measured at the sample points: exact there,
+    extended between samples by the safety factors (u is smooth at the
+    elastic length scale, far coarser than the node spacing; fidelity is
+    pinned by tests against the exact trilinear-embedding tracer)."""
+    m = interp.centers.shape[0]
+    diff = pts[:, None] - interp.centers[None]        # [N, M, 3]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff ** 2, -1), 1e-24))
+    u = d @ w[:m] + w[m] + pts @ w[m + 1:]            # [N, 3]
+    # grad u[a, b] = sum_k dir[n, k, a] w_k[b] + B[a, b]
+    g = jnp.einsum("nka,kb->nab", diff / d[..., None], w[:m]) + w[m + 1:]
+    l_max = jnp.sqrt(jnp.max(jnp.sum(g ** 2, (-2, -1))))   # Frobenius
+    u_max = jnp.sqrt(jnp.max(jnp.sum(u ** 2, -1)))
+    shrink = jnp.clip(1.0 - l_safety * l_max, 0.0, 1.0)
+    slack = 2.0 * u_safety * u_max
+    return (
+        jax.lax.stop_gradient(shrink),
+        jax.lax.stop_gradient(slack),
+    )
+
+
 def pull_back_rbf(interp: DispInterp, w: jax.Array, y: jax.Array,
                   iters: int = FIXED_POINT_ITERS) -> jax.Array:
     """Invert phi(x) = x + u(x) with u from the RBF interpolant."""
@@ -386,7 +423,8 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
                        ro: jax.Array, rd: jax.Array,
                        params: TraceParams = TraceParams(),
                        max_disp: float = 0.5,
-                       fp_iters: int = FIXED_POINT_ITERS):
+                       fp_iters: int = FIXED_POINT_ITERS,
+                       bound_pts: jax.Array | None = None):
     """Sphere-trace the RBF-deformed field with ADAPTIVE stepping.
 
     The rest-field support bound r(f) maps through phi: |phi(a) - phi(b)|
@@ -421,10 +459,13 @@ def trace_deformed_rbf(scene: Scene, interp: DispInterp, w: jax.Array,
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
     adaptive = scene.monotone_field
     inv_stretch = 1.0 / max(scene.max_world_to_local_scale, 1e-6)
-    shrink = jnp.clip(
-        1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
-    )
-    slack = jax.lax.stop_gradient(disp_slack(interp, w))
+    if bound_pts is not None:
+        shrink, slack = disp_bounds_sampled(interp, w, bound_pts)
+    else:
+        shrink = jnp.clip(
+            1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
+        )
+        slack = jax.lax.stop_gradient(disp_slack(interp, w))
 
     def eval_f(t):
         return deformed_field_rbf(
@@ -515,7 +556,8 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
                             image_hw: tuple[int, int] | None = None,
                             interpret: bool = False,
                             fp_iters: int = FIXED_POINT_ITERS,
-                            need_grads: bool = True):
+                            need_grads: bool = True,
+                            bound_pts: jax.Array | None = None):
     """RBF-deformed sphere trace at Pallas tile speed.
 
     The forward march runs inside the additive Pallas kernel with the
@@ -545,12 +587,15 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
     )
     if not fast_ok:
         return trace_deformed_rbf(scene, interp, w, ro, rd, params, max_disp,
-                                  fp_iters)
+                                  fp_iters, bound_pts=bound_pts)
 
-    shrink = jnp.clip(
-        1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
-    )
-    slack = jax.lax.stop_gradient(disp_slack(interp, w))
+    if bound_pts is not None:
+        shrink, slack = disp_bounds_sampled(interp, w, bound_pts)
+    else:
+        shrink = jnp.clip(
+            1.0 - jax.lax.stop_gradient(disp_lipschitz(interp, w)), 0.0, 1.0
+        )
+        slack = jax.lax.stop_gradient(disp_slack(interp, w))
 
     @jax.custom_vjp
     def raw(scene_, w_, ro_, rd_):
@@ -620,7 +665,8 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
                       differentiable: bool = False,
                       cg_tol: float | None = None,
                       max_disp: float = 0.5,
-                      fp_iters: int = FIXED_POINT_ITERS):
+                      fp_iters: int = FIXED_POINT_ITERS,
+                      bound_pts: jax.Array | None = None):
     """North-star step on the fast path: force -> implicit FEM solve ->
     RBF displacement weights (one matmul) -> adaptive deformed trace.
     Same differentiable structure as coupled_step; the displacement field
@@ -653,12 +699,12 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
         t, hit = trace_deformed_rbf_fast(
             scene, interp, w, ro, rd, params, image_hw=image_hw,
             max_disp=max_disp, fp_iters=fp_iters,
-            need_grads=differentiable,
+            need_grads=differentiable, bound_pts=bound_pts,
         )
     else:
         t, hit = trace_deformed_rbf(
             scene, interp, w, ro, rd, params, max_disp=max_disp,
-            fp_iters=fp_iters,
+            fp_iters=fp_iters, bound_pts=bound_pts,
         )
     return t, hit, new_state
 
@@ -675,7 +721,8 @@ def coupled_step_grid_fast(scene: Scene, gf, interp: DispInterp,
                            differentiable: bool = False,
                            cg_tol: float | None = None,
                            max_disp: float = 0.5,
-                           fp_iters: int = FIXED_POINT_ITERS):
+                           fp_iters: int = FIXED_POINT_ITERS,
+                           bound_pts: jax.Array | None = None):
     """North-star step on the GRID-FEM fast path: the production coupled
     frame. Same structure as coupled_step_fast, but the implicit solve is
     fem.grid_fem.timestep (stencil matvec + multigrid preconditioner —
@@ -701,12 +748,12 @@ def coupled_step_grid_fast(scene: Scene, gf, interp: DispInterp,
         t, hit = trace_deformed_rbf_fast(
             scene, interp, w, ro, rd, params, image_hw=image_hw,
             max_disp=max_disp, fp_iters=fp_iters,
-            need_grads=differentiable,
+            need_grads=differentiable, bound_pts=bound_pts,
         )
     else:
         t, hit = trace_deformed_rbf(
             scene, interp, w, ro, rd, params, max_disp=max_disp,
-            fp_iters=fp_iters,
+            fp_iters=fp_iters, bound_pts=bound_pts,
         )
     return t, hit, new_state
 

@@ -219,13 +219,26 @@ def _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
     n2g = gfm.node_to_grid_index(tm)
     cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
+    bound_pts = jnp.asarray(nodes[:: max(1, len(nodes) // 4096)])
     f_ext_g = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
     f_ext_g[n2g, 1] = -500.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext_g = jnp.asarray(f_ext_g.reshape(*grid.dims, 3))
 
-    # ---- stage decomposition ----
-    st0 = gf.rest_state()
+    # ---- settle to quasi-static (untimed): the first steps from rest
+    # are a gravity transient (|u| ~ h^2 g regardless of anchoring) with
+    # L > 1; the benchmark state is the steady sag. ----
+    @jax.jit
+    def settle(st):
+        def body(st, _):
+            st2, _ = gfm.timestep(gf, st, f_ext_g)
+            return st2, None
+        st, _ = jax.lax.scan(body, st, None, length=40)
+        return st
 
+    st0 = settle(gf.rest_state())
+    jax.block_until_ready(st0.q)
+
+    # ---- stage decomposition ----
     @jax.jit
     def gstep(st):
         return gfm.timestep(gf, st, f_ext_g)
@@ -250,7 +263,7 @@ def _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
     def tr(w, ro, rd):
         return trace_deformed_rbf_fast(
             scene, interp, w, ro, rd, params, image_hw=(height, width),
-            need_grads=False,
+            need_grads=False, bound_pts=bound_pts,
         )
 
     dt, _ = timed(tr, w, ro, rd)
@@ -264,6 +277,7 @@ def _grid_stages(args, jax, jnp, np, gfm, scene, grid, tm, nodes,
                 scene, gf, interp, cgi, st, f_ext_g,
                 ro + acc * 1e-30, rd, params=params,
                 image_hw=(height, width), cg_tol=cg_tol,
+                bound_pts=bound_pts,
             )
             return (st2, jnp.sum(t)), None
 

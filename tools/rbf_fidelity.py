@@ -73,9 +73,15 @@ def main() -> None:
     f_ext[n2g, 1] = -500.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
     st = gf.rest_state()
-    step = jax.jit(lambda s: gfm.timestep(gf, s, f_ext)[0])
-    for _ in range(5):
-        st = step(st)
+
+    @jax.jit
+    def settle(st):
+        def body(st, _):
+            return gfm.timestep(gf, st, f_ext)[0], None
+        st, _ = jax.lax.scan(body, st, None, length=40)
+        return st
+
+    st = settle(st)
     q_grid = np.asarray(st.q).reshape(-1, 3)
     q_nodes = q_grid[n2g]                               # true u at nodes
     qmax = float(np.abs(q_nodes).max())
@@ -119,11 +125,12 @@ def main() -> None:
         cgi = n2g[np.asarray(interp.center_nodes)]
         w = disp_weights_centers(interp, jnp.asarray(q_grid[cgi]))
         for fp in (1, 2, 4):
+            bound_pts = jnp.asarray(nodes[:: max(1, len(nodes) // 4096)])
             fn = jax.jit(lambda o, d, w=w, interp=interp, fp=fp:
                          trace_deformed_rbf_fast(
                              scene, interp, w, o, d, params,
                              image_hw=(height, width), fp_iters=fp,
-                             interpret=not on_tpu))
+                             interpret=not on_tpu, bound_pts=bound_pts))
             t, hit = fn(ro, rd)
             jax.block_until_ready(t)
             t0 = time.perf_counter()
