@@ -16,7 +16,9 @@ Secondary metrics (stderr JSON lines):
   - grad_check_max_rel_err                  (1-prim sphere, autodiff vs FD)
   - grad_check_ventricle_max_rel_err        (17-prim blend w/ cylinders)
   - coupled_E_grad_rel_err                  (image loss -> Young's modulus
-    through custom_linear_solve + implicit hit differentiation vs FD)
+    through custom_linear_solve + implicit hit differentiation vs FD,
+    f64 CPU subprocess — see tools/egrad_check.py for the conditioning
+    rationale; the r3 f32 in-process version was FD noise, not a bug)
 """
 from __future__ import annotations
 
@@ -464,58 +466,45 @@ def _gradient_metrics(on_tpu: bool) -> None:
     )
 
     # Coupled E-gradient: d(image loss)/d(E_scale) through the implicit
-    # FEM solve + deformed trace vs central finite differences.
-    from fembrain_tpu.fem import grid_fem as gfm
-    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
-    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
-    from fembrain_tpu.render.deformed import (
-        build_disp_interp,
-        coupled_step_grid_fast,
-    )
+    # FEM solve + deformed trace vs central finite differences, run in
+    # FLOAT64 in a CPU subprocess (tools/egrad_check.py). The round-3
+    # in-process f32 version of this check reported rel err 3.23 — that
+    # was FD cancellation noise, not a gradient bug: the FD increment
+    # (~1e-4 on a ~50-magnitude loss) sits at the f32 trace's arithmetic
+    # noise floor, while the identical graph in f64 matches autodiff to
+    # ~4e-4 with a stable hit set (tools/egrad_diag.py eps sweep).
+    # Gradient correctness is a property of the traced graph, not the
+    # accelerator, so the f64 CPU run validates the same program.
+    import os
+    import subprocess
+    from pathlib import Path
 
-    scene = _load_scene("sphere")
-    grid = grid_for_scene(scene, cellsize=0.3)
-    tm = extract_tet_mesh(
-        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
-    )
-    nodes = np.asarray(tm.nodes)[: int(tm.n_nodes)]
-    tets = np.asarray(tm.tets)[: int(tm.n_tets)]
-    fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
-    gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
-    interp = build_disp_interp(nodes, n_centers=64, fixed=fixed)
-    n2g = gfm.node_to_grid_index(tm)
-    cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
-    f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
-    f_ext[n2g, 1] = -200.0 * np.asarray(gf.mass).reshape(-1)[n2g]
-    f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
-
-    cam = Camera.orbit(30.0, 20.0, 5.0)
-    ro, rd = generate_rays(cam, 24, 18)
-    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
-
-    def loss(es):
-        t, hit, _ = coupled_step_grid_fast(
-            scene, gf, interp, cgi, gf.rest_state(), f_ext, ro, rd,
-            E_scale=es, differentiable=True, use_pallas=False,
+    check = Path(__file__).resolve().parent / "tools" / "egrad_check.py"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_ENABLE_X64")}
+    try:
+        out = subprocess.run(
+            [sys.executable, str(check)], capture_output=True, text=True,
+            timeout=540, env=env,
         )
-        return jnp.sum(jnp.where(hit, t, 0.0))
-
-    lj = jax.jit(loss)
-    g = float(jax.jit(jax.grad(loss))(jnp.float32(1.0)))
-    eps = 3e-2
-    fd = (float(lj(jnp.float32(1 + eps))) - float(lj(jnp.float32(1 - eps)))
-          ) / (2 * eps)
-    rel = abs(g - fd) / max(1e-9, abs(fd))
-    print(
-        json.dumps(
-            {
-                "metric": "coupled_E_grad_rel_err",
-                "value": round(rel, 4),
-                "unit": f"relative (autodiff {g:.4g} vs FD {fd:.4g})",
-            }
-        ),
-        file=sys.stderr,
-    )
+        line = out.stdout.strip().splitlines()[-1]
+        res = json.loads(line)
+        print(
+            json.dumps(
+                {
+                    "metric": "coupled_E_grad_rel_err",
+                    "value": res["rel_err"],
+                    "unit": (
+                        f"relative, f64 (autodiff {res['autodiff']:.4g} vs "
+                        f"FD {res['fd']:.4g}, eps={res['eps']:g}, "
+                        f"hit_flips={res['hit_flips']})"
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — bench must keep printing
+        print(f"# coupled_E_grad check failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
