@@ -204,7 +204,11 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     # global bottom plane would leave the rest in free fall).
     fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
     gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
-    interp = build_disp_interp(nodes, fixed=fixed)
+    # Production displacement interpolant (round 4): compact-support
+    # wendland kernel — the Pallas march culls center blocks per tile, so
+    # 256 centers cost less than 128 biharmonic ones (trace_cost_sweep).
+    interp = build_disp_interp(nodes, n_centers=256, fixed=fixed,
+                               kernel="wendland", sigma_fill=2.5)
     n2g = gfm.node_to_grid_index(tm)
     cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
     f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
@@ -218,6 +222,11 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     params = TraceParams()
     n_frames = 3
     bound_pts = jnp.asarray(nodes[:: max(1, len(nodes) // 4096)])
+    # Forward-rendering CG tolerance: the knee of the tolerance sweep
+    # (tools/fem_tol_knee.py — warm-started steady frames at 1e-3 match
+    # the 1e-6 trajectory to ~3e-8 displacement, f32 noise, while
+    # dropping 54 -> 23 CG iterations; 28.6 -> 14.7 ms/step measured).
+    cg_tol = 1e-3
 
     # Settle to quasi-static sag (untimed): frames from rest are a
     # gravity transient with L > 1 that zeroes the adaptive march.
@@ -236,14 +245,14 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     @jax.jit
     def fem_only(st):
         def body(st, _):
-            st2, _ = gfm.timestep(gf, st, f_ext)
+            st2, _ = gfm.timestep(gf, st, f_ext, cg_tol=cg_tol)
             return st2, None
         st, _ = jax.lax.scan(body, st, None, length=n_frames)
         return jnp.sum(st.q)
 
     fem_ms = _timed_frames(fem_only, st0, iters=n_frames) * 1e3
 
-    st1, _ = jax.jit(lambda s: gfm.timestep(gf, s, f_ext))(st0)
+    st1, _ = jax.jit(lambda s: gfm.timestep(gf, s, f_ext, cg_tol=cg_tol))(st0)
 
     @jax.jit
     def rbf_only(st):
@@ -278,7 +287,7 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
             t, _hit, st2 = coupled_step_grid_fast(
                 scene, gf, interp, cgi, st, f_ext, o + acc * 1e-30, d,
                 params=params, image_hw=(height, width) if on_tpu else None,
-                use_pallas=on_tpu, bound_pts=bound_pts,
+                use_pallas=on_tpu, bound_pts=bound_pts, cg_tol=cg_tol,
             )
             return (st2, jnp.sum(t)), None
         (st, acc), _ = jax.lax.scan(

@@ -260,17 +260,72 @@ def render_deformed(scene: Scene, grid: GridSpec, grid_to_node: jax.Array,
 
 DISP_CENTERS = 128
 
+# Wendland support radius as a multiple of the center fill distance
+# (centers are farthest-point sampled, so fill ~ center spacing): small
+# enough that per-tile center culling bites, large enough that the
+# interpolant stays smooth between centers (fidelity pinned by tests and
+# tools/rbf_fidelity.py).
+WENDLAND_SIGMA_FILL = 3.0
+# max_t |d/dt (1-t)^4 (4t+1)| = 20 t (1-t)^3 at t = 1/4.
+WENDLAND_DPHI_MAX = 2.109375
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DispInterp:
-    """Static displacement-interpolation operator for one FEM mesh."""
+    """Static displacement-interpolation operator for one FEM mesh.
+
+    kind="biharmonic": u = sum_k w_k |x - c_k| + a + B x  (reference
+    FastRBF analog, src/implicit/RBF.h:81-84 — global support).
+    kind="wendland":   u = sum_k w_k phi(|x - c_k| / sigma) + a + B x with
+    the Wendland C2 kernel phi(t) = (1-t)^4 (4t+1) on [0,1] — COMPACT
+    support, the production coupled-trace kernel: center contributions
+    are exactly zero beyond sigma, so the Pallas march culls center
+    blocks per tile like prim blocks and the per-tile Lipschitz/max|u|
+    march bounds are certified sums over live blocks."""
     centers: jax.Array       # [M, 3] world positions of the chosen nodes
     center_nodes: jax.Array  # [M] int32 FEM node ids
-    a_inv: jax.Array         # [M+4, M+4] inverse of the biharmonic saddle
+    a_inv: jax.Array         # [M+4, M+4] inverse of the kernel saddle
                              #   system [[phi, P], [P^T, 0]], P = [1, x]
     fill_dist: jax.Array     # [] farthest node-to-nearest-center distance
                              #   (feeds max_disp_bound telemetry)
+    kind: str = dataclasses.field(
+        metadata=dict(static=True), default="biharmonic"
+    )
+    sigma: float = dataclasses.field(
+        metadata=dict(static=True), default=0.0
+    )
+
+
+def _phi_dist(interp: DispInterp, d: jax.Array) -> jax.Array:
+    """Kernel value from distance(s) d (any shape)."""
+    if interp.kind == "biharmonic":
+        return d
+    t = jnp.minimum(d * (1.0 / interp.sigma), 1.0)
+    omt = 1.0 - t
+    o2 = omt * omt
+    return o2 * o2 * (4.0 * t + 1.0)
+
+
+def _dphi_over_d(interp: DispInterp, d: jax.Array) -> jax.Array:
+    """(d phi / d r) / r evaluated at distance d — the radial-gradient
+    factor: grad_x phi(|x-c|) = _dphi_over_d * (x - c). Finite at 0 for
+    wendland; biharmonic uses 1/d (callers guard d > 0)."""
+    if interp.kind == "biharmonic":
+        return 1.0 / jnp.maximum(d, 1e-12)
+    s = 1.0 / interp.sigma
+    t = jnp.minimum(d * s, 1.0)
+    omt = 1.0 - t
+    # dphi/dt = -20 t (1-t)^3; dphi/dr / r = dphi/dt * s / d
+    #         = -20 (1-t)^3 s^2   (t = d s, so t/d = s)
+    return -20.0 * omt * omt * omt * (s * s)
+
+
+def _kernel_lipschitz_coef(interp: DispInterp) -> float:
+    """max_r |d phi / d r|: 1 for biharmonic, 2.109/sigma for wendland."""
+    if interp.kind == "biharmonic":
+        return 1.0
+    return WENDLAND_DPHI_MAX / interp.sigma
 
 
 def adaptive_centers(n_nodes: int) -> int:
@@ -285,12 +340,64 @@ def adaptive_centers(n_nodes: int) -> int:
     return max(64, min(512, (m + 7) // 8 * 8))
 
 
+def _morton_order(pts) -> "np.ndarray":
+    """Permutation sorting points by the Morton code of their positions —
+    spatially-close points land in the same contiguous block (mirrors
+    pallas_trace._additive_layout for prims)."""
+    import numpy as np
+
+    pts = np.asarray(pts, np.float64)
+    lo = pts.min(0)
+    span = np.maximum(pts.max(0) - lo, 1e-9)
+    q = np.clip((pts - lo) / span * 1023.0, 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
+
+
+def _factor_interp(c, kind: str, sigma: float) -> "np.ndarray":
+    """Inverse of the kernel saddle system [[phi, P], [P^T, 0]] for
+    centers c [M, 3] (float64 host math)."""
+    import numpy as np
+
+    m = len(c)
+    d = np.linalg.norm(c[:, None] - c[None], axis=-1)
+    if kind == "biharmonic":
+        phi = d
+    else:
+        t = np.minimum(d / sigma, 1.0)
+        phi = (1.0 - t) ** 4 * (4.0 * t + 1.0)
+    p = np.concatenate([np.ones((m, 1)), c], 1)  # [M, 4]
+    a = np.zeros((m + 4, m + 4))
+    a[:m, :m] = phi + 1e-9 * np.eye(m)
+    a[:m, m:] = p
+    a[m:, :m] = p.T
+    return np.linalg.inv(a)
+
+
 def build_disp_interp(nodes, n_centers: int | None = None,
-                      fixed=None) -> DispInterp:
-    """Farthest-point-sample `n_centers` FEM nodes and factor the
-    biharmonic interpolation system (host-side, once per mesh topology).
+                      fixed=None, kernel: str = "biharmonic",
+                      sigma_fill: float = WENDLAND_SIGMA_FILL,
+                      extra_centers=None) -> DispInterp:
+    """Farthest-point-sample `n_centers` FEM nodes and factor the kernel
+    interpolation system (host-side, once per mesh topology).
     n_centers=None picks adaptive_centers(len(nodes)). Including fixed
-    nodes pins u = 0 at anchors automatically (their q rows are zero)."""
+    nodes pins u = 0 at anchors automatically (their q rows are zero).
+
+    kernel="wendland" builds the compact-support production interpolant
+    (support sigma = sigma_fill * fill distance); centers are then
+    Morton-ordered so the Pallas kernel's 8-center cull blocks are
+    spatially tight. extra_centers: node ids appended after the FPS pick
+    (error-driven refinement, see refine_disp_interp)."""
     import numpy as np
 
     nodes = np.asarray(nodes, np.float64)
@@ -305,21 +412,33 @@ def build_disp_interp(nodes, n_centers: int | None = None,
         i = int(np.argmax(d))
         sel.append(i)
         d = np.minimum(d, np.linalg.norm(nodes - nodes[i], axis=-1))
+    if extra_centers is not None:
+        for i in np.asarray(extra_centers).tolist():
+            if i not in sel:
+                sel.append(int(i))
+                d = np.minimum(
+                    d, np.linalg.norm(nodes - nodes[int(i)], axis=-1)
+                )
     idx = np.asarray(sel, np.int64)
     fill = float(np.max(d))
+    if kernel != "biharmonic":
+        idx = idx[_morton_order(nodes[idx])]
     c = nodes[idx]
-    phi = np.linalg.norm(c[:, None] - c[None], axis=-1)
-    p = np.concatenate([np.ones((m, 1)), c], 1)  # [M, 4]
-    a = np.zeros((m + 4, m + 4))
-    a[:m, :m] = phi + 1e-9 * np.eye(m)
-    a[:m, m:] = p
-    a[m:, :m] = p.T
-    a_inv = np.linalg.inv(a)
+    # Support scale: the fill distance, floored by the median
+    # nearest-center spacing (fill collapses to 0 when every node is a
+    # center — e.g. tiny test meshes).
+    pair = np.linalg.norm(c[:, None] - c[None], axis=-1)
+    np.fill_diagonal(pair, np.inf)
+    spacing = float(np.median(pair.min(1))) if len(c) > 1 else 1.0
+    sigma = sigma_fill * max(fill, spacing, 1e-6)
+    a_inv = _factor_interp(c, kernel, sigma)
     return DispInterp(
         centers=jnp.asarray(c, jnp.float32),
         center_nodes=jnp.asarray(idx, jnp.int32),
         a_inv=jnp.asarray(a_inv, jnp.float32),
         fill_dist=jnp.asarray(fill, jnp.float32),
+        kind=kernel,
+        sigma=float(sigma),
     )
 
 
@@ -339,23 +458,26 @@ def disp_weights(interp: DispInterp, q: jax.Array):
 
 def sample_disp_rbf(interp: DispInterp, w: jax.Array,
                     pts: jax.Array) -> jax.Array:
-    """u(x) = sum_k w_k |x - c_k| + a + B x  at [N, 3] points (dense)."""
+    """u(x) = sum_k w_k phi(|x - c_k|) + a + B x  at [N, 3] points
+    (dense — the correctness/fallback path; the Pallas kernel culls)."""
     m = interp.centers.shape[0]
     d = jnp.sqrt(jnp.maximum(
         jnp.sum((pts[:, None] - interp.centers[None]) ** 2, -1), 1e-24
     ))                                                # [N, M]
-    u = d @ w[:m]                                     # [N, 3]
+    u = _phi_dist(interp, d) @ w[:m]                  # [N, 3]
     u = u + w[m] + pts @ w[m + 1:]
     return u
 
 
 def disp_lipschitz(interp: DispInterp, w: jax.Array) -> jax.Array:
-    """Upper bound on |grad u|: each |x-c_k| is 1-Lipschitz, so
-    L <= sum_k |w_k|_2 + |B|_F. A traced scalar (used in step sizes only,
-    never in control flow)."""
+    """Upper bound on |grad u|: each phi(|x-c_k|) is Lipschitz with
+    constant max|dphi/dr| (1 for biharmonic, 2.109/sigma for wendland),
+    so L <= coef * sum_k |w_k|_2 + |B|_F. A traced scalar (used in step
+    sizes only, never in control flow)."""
     m = interp.centers.shape[0]
     return (
-        jnp.sum(jnp.sqrt(jnp.sum(w[:m] ** 2, -1)))
+        _kernel_lipschitz_coef(interp)
+        * jnp.sum(jnp.sqrt(jnp.sum(w[:m] ** 2, -1)))
         + jnp.sqrt(jnp.sum(w[m + 1:] ** 2))
     )
 
@@ -391,9 +513,11 @@ def disp_bounds_sampled(interp: DispInterp, w: jax.Array,
     m = interp.centers.shape[0]
     diff = pts[:, None] - interp.centers[None]        # [N, M, 3]
     d = jnp.sqrt(jnp.maximum(jnp.sum(diff ** 2, -1), 1e-24))
-    u = d @ w[:m] + w[m] + pts @ w[m + 1:]            # [N, 3]
-    # grad u[a, b] = sum_k dir[n, k, a] w_k[b] + B[a, b]
-    g = jnp.einsum("nka,kb->nab", diff / d[..., None], w[:m]) + w[m + 1:]
+    u = _phi_dist(interp, d) @ w[:m] + w[m] + pts @ w[m + 1:]   # [N, 3]
+    # grad u[a, b] = sum_k (dphi/dr / r) diff[n, k, a] w_k[b] + B[a, b]
+    g = jnp.einsum(
+        "nka,kb->nab", diff * _dphi_over_d(interp, d)[..., None], w[:m]
+    ) + w[m + 1:]
     l_max = jnp.sqrt(jnp.max(jnp.sum(g ** 2, (-2, -1))))   # Frobenius
     u_max = jnp.sqrt(jnp.max(jnp.sum(u ** 2, -1)))
     shrink = jnp.clip(1.0 - l_safety * l_max, 0.0, 1.0)
@@ -401,6 +525,65 @@ def disp_bounds_sampled(interp: DispInterp, w: jax.Array,
     return (
         jax.lax.stop_gradient(shrink),
         jax.lax.stop_gradient(slack),
+    )
+
+
+def wendland_pallas_spec(interp: DispInterp, w: jax.Array,
+                         max_disp=None, fp_iters: int = 1):
+    """Per-frame Pallas displacement spec for the wendland kernel path:
+    centers padded to a CEN_BLOCK multiple (pad rows at 1e6 with zero
+    weights never test live), weights transposed to kernel row layout,
+    and the per-block |w| sums that feed the certified per-tile march
+    bounds (pallas_trace.trace_pallas)."""
+    from .pallas_trace import CEN_BLOCK, WendlandDisp
+
+    m = interp.centers.shape[0]
+    mp = -(-m // CEN_BLOCK) * CEN_BLOCK
+    cen = jnp.concatenate(
+        [interp.centers, jnp.full((mp - m, 3), 1e6, jnp.float32)], 0
+    ) if mp > m else interp.centers
+    wk = w[:m].astype(jnp.float32)                    # [M, 3]
+    wr = jnp.concatenate(
+        [wk, jnp.zeros((mp - m, 3), jnp.float32)], 0
+    ) if mp > m else wk
+    waff = w[m:].T.astype(jnp.float32)                # [3, 4]
+    # Per-block SAMPLED march-bound inputs: |u| and |grad u| evaluated
+    # exactly AT the centers ([M, M] dense — ~1 MFLOP per frame). The
+    # weight-sum bounds (sum|w_k|) are certified but uselessly loose
+    # (neighboring-center cancellation is the norm: measured sum|w| gives
+    # L ~ 5-8 where the true max |grad u| is ~0.1, which zeroes the
+    # adaptive march and costs ~90 ms/frame in fixed stepping); sampling
+    # at the centers is exact there and the per-tile bounds extend
+    # between samples with the disp_bounds_sampled safety factors.
+    c = interp.centers
+    diff = c[:, None] - c[None]                       # [M, M, 3]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-24))
+    u_c = _phi_dist(interp, d) @ wk + w[m] + c @ w[m + 1:]
+    g_c = jnp.einsum(
+        "jka,kb->jab", diff * _dphi_over_d(interp, d)[..., None], wk
+    ) + w[m + 1:]
+    un = jnp.sqrt(jnp.sum(u_c * u_c, -1))             # [M]
+    gn = jnp.sqrt(jnp.sum(g_c * g_c, (-2, -1)))       # [M] Frobenius
+    if mp > m:
+        un = jnp.concatenate([un, jnp.zeros(mp - m)], 0)
+        gn = jnp.concatenate([gn, jnp.zeros(mp - m)], 0)
+    bu = un.reshape(-1, CEN_BLOCK).max(1)             # [NBc]
+    bg = gn.reshape(-1, CEN_BLOCK).max(1)
+    bfr = jnp.sqrt(jnp.sum(w[m + 1:] ** 2))
+    if max_disp is None:
+        # Per-frame displacement bound: max over centers (u interpolates
+        # there) extended by the same between-sample safety the march
+        # bounds use, + the Lipschitz fill term (max_disp_bound scheme).
+        max_disp = 1.15 * jnp.max(bu) + jnp.max(bg) * interp.fill_dist
+    return WendlandDisp(
+        centers=cen, w=wr, waff=waff,
+        bu=jax.lax.stop_gradient(bu), bg=jax.lax.stop_gradient(bg),
+        bfr=jax.lax.stop_gradient(bfr),
+        max_disp=jax.lax.stop_gradient(
+            jnp.asarray(max_disp, jnp.float32)
+        ),
+        sigma=float(interp.sigma),
+        fp_iters=int(fp_iters),
     )
 
 
@@ -589,7 +772,11 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
         return trace_deformed_rbf(scene, interp, w, ro, rd, params, max_disp,
                                   fp_iters, bound_pts=bound_pts)
 
-    if bound_pts is not None:
+    if interp.kind == "wendland":
+        # Certified per-tile bounds are computed inside trace_pallas from
+        # the compact support — no sampled global bounds needed.
+        shrink, slack = None, None
+    elif bound_pts is not None:
         shrink, slack = disp_bounds_sampled(interp, w, bound_pts)
     else:
         shrink = jnp.clip(
@@ -599,7 +786,19 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
 
     @jax.custom_vjp
     def raw(scene_, w_, ro_, rd_):
-        disp = (interp.centers, w_, shrink, slack, max_disp, fp_iters)
+        if interp.kind == "wendland":
+            # fp_iters=1: the kernel warm-starts the pull-back from the
+            # previous eval's rest points (see _march_tile eval_c), so a
+            # single fixed-point iteration per eval is self-correcting —
+            # the external implicit-diff correction below still uses the
+            # from-scratch `fp_iters` dense pull-back. max_disp=None:
+            # brackets inflate by THIS frame's measured |u| bound, not
+            # the caller's static worst case.
+            disp = wendland_pallas_spec(
+                interp, jax.lax.stop_gradient(w_), None, 1
+            )
+        else:
+            disp = (interp.centers, w_, shrink, slack, max_disp, fp_iters)
         if image_hw is not None:
             return trace_pallas_image(
                 scene_, ro_, rd_, image_hw[0], image_hw[1], params,

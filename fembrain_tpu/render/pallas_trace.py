@@ -38,7 +38,43 @@ from ..ops.field import (
 from .sphere_trace import TraceParams, support_radius_bound, trace as trace_xla
 
 TILE = 2048  # rays per kernel instance (lanes)
+DEBUG_MARCH_ITERS = False  # write march while-iteration counts to hit_out
+DEBUG_PULLBACK_ABLATE = 0  # 0=full, 1=affine-only, 2=identity pull-back
 PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
+CEN_BLOCK = 16  # RBF centers per cull block (wendland deformed trace):
+                # big enough that each un-culled block is one meaty
+                # [CB, T] vector computation (few conds, good pipeline
+                # utilization), small enough that Morton blocks stay
+                # spatially tight for the per-eval hull cull.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WendlandDisp:
+    """Compact-support displacement spec for the deformed Pallas trace.
+
+    The wendland interpolant (render.deformed, kind="wendland") has
+    exactly-zero center contributions beyond `sigma`, so the kernel culls
+    8-center Morton blocks per tile exactly like prim blocks — per-eval
+    cost scales with the ~sigma^3 local center density instead of the
+    total center count M (the biharmonic |x-c| kernel forces every eval
+    to pay all M centers; measured 21.4 ms/frame per 64 centers per
+    pull-back iteration at 1080p). Built per frame by
+    render.deformed.wendland_pallas_spec."""
+    centers: jax.Array   # [Mp, 3] Morton-blocked center rows (pad 1e6)
+    w: jax.Array         # [Mp, 3] per-frame kernel weights (pad 0)
+    waff: jax.Array      # [3, 4] affine tail (col 0 constant, 1:4 B^T)
+    bu: jax.Array        # [NBc] per-block max_j |u(c_j)| — u and grad u
+    bg: jax.Array        # [NBc] per-block max_j |grad u(c_j)|_F sampled
+                         #   AT the centers (exact there; extended between
+                         #   samples by the march-bound safety factors)
+    bfr: jax.Array       # [] Frobenius norm of the affine linear part B
+    max_disp: jax.Array = None  # [] traced per-frame |u| bound: inflates
+                         #   brackets/support boxes only as much as THIS
+                         #   frame's displacement requires (a static
+                         #   worst case costs ~60% more live tiles)
+    sigma: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    fp_iters: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 _SCENE_FIELDS = (
     "prim_type", "prim_mtx", "prim_pos", "prim_dir", "prim_res",
@@ -54,7 +90,8 @@ def _scene_from_refs(scene: Scene, refs) -> Scene:
 def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 inv_stretch: float, base_step, ro, rd,
                 t_enter, t_exit, alive0, tile_cond: bool,
-                shrink=None, slack=None):
+                shrink=None, slack=None, eval_c=None, carry0=None,
+                drift_fn=None, refresh_fn=None):
     """Shared tile march: sphere-trace [1, TILE] ray rows to the iso
     crossing with tile-local early exit, then refine the bracket. eval_f
     maps a [1, TILE] t-row to field-minus-iso. Returns (t_root, found).
@@ -66,12 +103,25 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
       subtractive     d - 2 max|u|         (|phi(a)-phi(b)| >=
                                             |a-b| - |u(a)| - |u(b)|).
     The subtractive bound dominates in the far field where the loose
-    global Lipschitz constant would throttle exactly the biggest steps."""
+    global Lipschitz constant would throttle exactly the biggest steps.
+
+    eval_c/carry0: stateful evaluation for the warm-started deformed
+    pull-back — eval_c(t, carry, refresh) -> (f, carry') threads the last
+    refreshed rest-space points through the march; `refresh` is a traced
+    tile-wide bool (None = always refresh). refresh_fn(f, alive, it)
+    decides it per step: periodic in the far field, every eval in the
+    near-surface zone (stale evals there corrupt the crossing bracket).
+    drift_fn(carry, t) -> per-lane extra slack covering the staleness of
+    the carried pull-back between refreshes."""
     iso = params.iso
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
+    if eval_c is None:
+        def eval_c(t, carry, refresh=None):  # noqa: ARG001 — stateless
+            return eval_f(t), carry
+        carry0 = ()
 
     def run_tile(_):
-        f0 = eval_f(t_enter)
+        f0, car = eval_c(t_enter, carry0, None)
         state = (
             t_enter,
             f0,
@@ -80,25 +130,33 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
             jnp.where(f0 >= 0.0, alive0, 0.0),   # found (f32 mask)
             jnp.where(f0 < 0.0, alive0, 0.0),    # alive (f32 mask)
             jnp.zeros((), jnp.int32),
+            car,
         )
 
         def cond(s):
             return (s[6] < params.max_steps) & (jnp.sum(s[5]) > 0.0)
 
         def step_once(s):
-            t, f, t_prev, f_prev, found, alive, it = s
+            t, f, t_prev, f_prev, found, alive, it, car = s
             if adaptive:
                 # Shared piecewise bound (sphere_trace.support_radius_bound)
                 # so the XLA and Pallas marches take identical steps.
                 r = support_radius_bound(f + iso)
                 d = (r - r_iso) * inv_stretch
                 if shrink is not None:
-                    d = jnp.maximum(shrink * d, d - slack)
+                    sl = slack
+                    if drift_fn is not None:
+                        # The f that fed this bound was evaluated with a
+                        # stale pull-back; widen the subtractive slack by
+                        # the staleness bound (L * distance since refresh).
+                        sl = sl + drift_fn(car, t)
+                    d = jnp.maximum(shrink * d, d - sl)
                 dt = jnp.maximum(base_step, 0.95 * d)
             else:
                 dt = base_step
             t_new = jnp.minimum(t + dt, t_exit)
-            f_new = eval_f(t_new)
+            ref = None if refresh_fn is None else refresh_fn(f, alive, it)
+            f_new, car = eval_c(t_new, car, ref)
             is_alive = alive > 0.0
             crossed = is_alive & (f_new >= 0.0)
             done = is_alive & (t_new >= t_exit) & (f_new < 0.0)
@@ -110,6 +168,7 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 jnp.maximum(found, crossed.astype(jnp.float32)),
                 alive * (1.0 - crossed) * (1.0 - done),
                 it + 1,
+                car,
             )
 
         def body(s):
@@ -120,27 +179,35 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
             # one fully-masked extra eval).
             return step_once(step_once(s))
 
-        t, f, t_prev, f_prev, found, alive, _ = jax.lax.while_loop(
+        t, f, t_prev, f_prev, found, alive, n_it, car = jax.lax.while_loop(
             cond, body, state
         )
+        if DEBUG_MARCH_ITERS:
+            # Root output carries the while-iteration count instead
+            # (the hit path bool-thresholds, t passes through raw).
+            return (
+                jnp.zeros_like(t) + n_it.astype(jnp.float32),
+                jnp.ones_like(found),
+            )
 
         # Bracket field values ride along from the march state: the
         # closing secant costs no extra field evaluations (mirrors
         # sphere_trace.trace exactly to keep step/root parity).
         def bis_body(_, st):
-            a, b, fa, fb = st
+            a, b, fa, fb, car = st
             m = 0.5 * (a + b)
-            fm = eval_f(m)
+            fm, car = eval_c(m, car, None)
             neg = fm < 0.0
             return (
                 jnp.where(neg, m, a),
                 jnp.where(neg, b, m),
                 jnp.where(neg, fm, fa),
                 jnp.where(neg, fb, fm),
+                car,
             )
 
-        a, b, fa, fb = jax.lax.fori_loop(
-            0, params.bisect_steps, bis_body, (t_prev, t, f_prev, f)
+        a, b, fa, fb, _ = jax.lax.fori_loop(
+            0, params.bisect_steps, bis_body, (t_prev, t, f_prev, f, car)
         )
         denom = fb - fa
         # Degenerate secant (fa == fb in f32 on a tight bracket) falls
@@ -247,7 +314,7 @@ def _pull_back_rows(cen, wr, waff, px, py, pz, iters: int):
 
 def _trace_kernel_additive(scene: Scene, params: TraceParams,
                            tile_cond: bool, n_blocks: int, fp_iters: int,
-                           *args):
+                           wparams, *args):
     """Additive-scene kernel: field = sum of prim fields, evaluated per
     PRIM_BLOCK with whole blocks skipped when the tile's ray hull misses
     the block's support AABB (live flags precomputed in XLA). The Morton
@@ -258,8 +325,15 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     With fp_iters > 0 the kernel traces the RBF-DEFORMED field (north-star
     coupling, render.deformed): march points are pulled back to rest space
     in-kernel before the prim evaluation, so the hull culling tests rest
-    points against rest-space support boxes — exact under deformation."""
-    if fp_iters:
+    points against rest-space support boxes — exact under deformation.
+    wparams = None selects the legacy biharmonic pull-back (all M centers
+    per eval); wparams = (sigma, n_cblocks) selects the PRODUCTION
+    wendland pull-back: compact-support center blocks culled per eval
+    against the carried rest-point hull, warm-started across march steps
+    (one fixed-point iteration per eval — see _march_tile eval_c)."""
+    if fp_iters and wparams is not None:
+        (cen, wr, waff, cboxes, clive, *args) = args
+    elif fp_iters:
         (cen, wr, waff, *args) = args
     (live, boxes, stretch, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
      rox, roy, roz, rdx, rdy, rdz, ten, tex, alv,
@@ -286,6 +360,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     inv_stretch = stretch[0, 0, 0]
     shrink_s = stretch[0, 0, 1]
     slack_s = stretch[0, 0, 2]
+    l_drift = stretch[0, 0, 3]
     present = scene.prim_types_present
     B = PRIM_BLOCK
 
@@ -303,15 +378,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     else:
         real_blocks = list(range(n_blocks))
 
-    def eval_f(t):
-        px = ro[0] + t * rd[0]
-        py = ro[1] + t * rd[1]
-        pz = ro[2] + t * rd[2]
-        if fp_iters:
-            px, py, pz = _pull_back_rows(
-                cen, wr, waff, px, py, pz, fp_iters
-            )
-
+    def field_rest(px, py, pz):
         def block_field(o, types):
             # Local transform rows for this block: [B, T] coords via
             # VPU broadcasts (a [B,4]x[4,T] matmul is too small for
@@ -392,10 +459,158 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
         f = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(px))
         return f - iso
 
+    eval_f = eval_c = carry0 = drift_fn = refresh_fn = None
+    if fp_iters and wparams is not None:
+        # PRODUCTION deformed path: wendland pull-back with per-eval
+        # center-block culling + warm start. One fixed-point iteration
+        # x <- p - u(x) per eval from the carried rest points (see
+        # _march_tile eval_c); u's compact support makes the per-block
+        # skip EXACT (phi = 0 beyond sigma).
+        sigma, n_cb = wparams
+        inv_sig = 1.0 / sigma
+        CB = CEN_BLOCK
+
+        def pull_one(xx, yy, zz, px, py, pz):
+            # Affine tail (always on — it has global support).
+            ux = (waff[0:1, 0:1] + waff[0:1, 1:2] * xx
+                  + waff[0:1, 2:3] * yy + waff[0:1, 3:4] * zz)
+            uy = (waff[1:2, 0:1] + waff[1:2, 1:2] * xx
+                  + waff[1:2, 2:3] * yy + waff[1:2, 3:4] * zz)
+            uz = (waff[2:3, 0:1] + waff[2:3, 1:2] * xx
+                  + waff[2:3, 2:3] * yy + waff[2:3, 3:4] * zz)
+            # Spatial hull of the points u is evaluated AT: pull-backs
+            # now run only on refresh evals (mostly near the surface,
+            # where the tile's points cluster tightly), so the hull+cond
+            # cull skips most blocks EXACTLY (compact support) and its
+            # reduction cost amortizes over the skipped compute.
+            hx_lo = jnp.min(jnp.where(hull_mask, xx, 1e30))
+            hx_hi = jnp.max(jnp.where(hull_mask, xx, -1e30))
+            hy_lo = jnp.min(jnp.where(hull_mask, yy, 1e30))
+            hy_hi = jnp.max(jnp.where(hull_mask, yy, -1e30))
+            hz_lo = jnp.min(jnp.where(hull_mask, zz, 1e30))
+            hz_hi = jnp.max(jnp.where(hull_mask, zz, -1e30))
+
+            def cb_live(b):
+                return (
+                    (clive[0, 0, b] > 0)
+                    & (hx_lo <= cboxes[b, 3] + 1e-4)
+                    & (hx_hi >= cboxes[b, 0] - 1e-4)
+                    & (hy_lo <= cboxes[b, 4] + 1e-4)
+                    & (hy_hi >= cboxes[b, 1] - 1e-4)
+                    & (hz_lo <= cboxes[b, 5] + 1e-4)
+                    & (hz_hi >= cboxes[b, 2] - 1e-4)
+                )
+
+            def cb_add(o):
+                def add(uu):
+                    ax, ay, az = uu
+                    dx = xx - cen[pl.ds(o, CB), 0:1]       # [CB, T]
+                    dy = yy - cen[pl.ds(o, CB), 1:2]
+                    dz = zz - cen[pl.ds(o, CB), 2:3]
+                    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                    tt = jnp.minimum(d * inv_sig, 1.0)
+                    omt = 1.0 - tt
+                    o2 = omt * omt
+                    ph = o2 * o2 * (4.0 * tt + 1.0)         # [CB, T]
+                    # Column-broadcast weights + one sublane reduction
+                    # per coord (scalar-broadcast FMAs per center are
+                    # ~10x slower — measured 330 ms/frame vs this form).
+                    ax = ax + jnp.sum(
+                        wr[pl.ds(o, CB), 0:1] * ph, 0, keepdims=True
+                    )
+                    ay = ay + jnp.sum(
+                        wr[pl.ds(o, CB), 1:2] * ph, 0, keepdims=True
+                    )
+                    az = az + jnp.sum(
+                        wr[pl.ds(o, CB), 2:3] * ph, 0, keepdims=True
+                    )
+                    return ax, ay, az
+                return add
+
+            uu = (ux, uy, uz)
+            if DEBUG_PULLBACK_ABLATE == 1:
+                return px - ux, py - uy, pz - uz
+            for b in range(n_cb):
+                uu = jax.lax.cond(cb_live(b), cb_add(b * CB),
+                                  lambda u_: u_, uu)
+            ux, uy, uz = uu
+            return px - ux, py - uy, pz - uz
+
+        K_REFRESH = 4
+        NEAR_F = -0.15  # f-minus-iso near-surface refresh threshold
+
+        def eval_c(t, carry, refresh_s):
+            px = ro[0] + t * rd[0]
+            py = ro[1] + t * rd[1]
+            pz = ro[2] + t * rd[2]
+            xx, yy, zz, tc = carry
+            if DEBUG_PULLBACK_ABLATE == 2:
+                return field_rest(px, py, pz), carry
+            # Advance the carried rest points along the ray (exact up to
+            # the change of u since the last refresh — covered by the
+            # drift term in the march slack).
+            adv = t - tc
+            xa = xx + adv * rd[0]
+            ya = yy + adv * rd[1]
+            za = zz + adv * rd[2]
+
+            def refresh(_):
+                x2, y2, z2 = xa, ya, za
+                for _ in range(fp_iters):
+                    x2, y2, z2 = pull_one(x2, y2, z2, px, py, pz)
+                return (x2, y2, z2, t)
+
+            if refresh_s is None:
+                car2 = refresh(0)
+            else:
+                # The pull-back (the march's dominant cost — every live
+                # center block on [CB, T] rows) runs only when the
+                # refresh policy fires; in between, evals ride the
+                # advanced stale estimate.
+                car2 = jax.lax.cond(
+                    refresh_s, refresh, lambda _: (xa, ya, za, tc), 0
+                )
+            return field_rest(car2[0], car2[1], car2[2]), car2
+
+        def refresh_fn(f, alive, it):
+            # Periodic in the far field; EVERY eval once any live lane is
+            # near the surface (stale pull-backs there shift the crossing
+            # bracket by the drift — measured 0.08 median t error).
+            near = jnp.max(jnp.where(alive > 0.0, f, -1e30)) > NEAR_F
+            return (jnp.bitwise_and(it, K_REFRESH - 1) == 0) | near
+
+        def drift_fn(carry, t):
+            # |x_used - x_true| <= L * |y(t) - y(t_ref)|: lane-wise bound
+            # on the pull-back staleness, doubled into the subtractive
+            # step slack like max|u| is.
+            return 2.0 * l_drift * jnp.abs(t - carry[3])
+
+        carry0 = (
+            ro[0] + t_enter * rd[0],
+            ro[1] + t_enter * rd[1],
+            ro[2] + t_enter * rd[2],
+            t_enter,
+        )
+    elif fp_iters:
+        def eval_f(t):
+            px = ro[0] + t * rd[0]
+            py = ro[1] + t * rd[1]
+            pz = ro[2] + t * rd[2]
+            px, py, pz = _pull_back_rows(
+                cen, wr, waff, px, py, pz, fp_iters
+            )
+            return field_rest(px, py, pz)
+    else:
+        def eval_f(t):
+            return field_rest(
+                ro[0] + t * rd[0], ro[1] + t * rd[1], ro[2] + t * rd[2]
+            )
+
     t_root, found = _march_tile(
         eval_f, params, adaptive, inv_stretch, base_step,
         ro, rd, t_enter, t_exit, alive0, tile_cond,
-        shrink=shrink_s, slack=slack_s,
+        shrink=shrink_s, slack=slack_s, eval_c=eval_c, carry0=carry0,
+        drift_fn=drift_fn, refresh_fn=refresh_fn,
     )
     t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
     hit_out[0] = found
@@ -462,22 +677,34 @@ def _additive_layout(scene: Scene):
     return prim_args, blk_lo, blk_hi, blk_stretch, nb
 
 
-def _tile_block_live(ro, rd, t_enter, t_exit, alive, tiles, blk_lo, blk_hi):
-    """[tiles, NB] int32: does tile's marched-segment hull overlap each
-    prim block's support AABB? Conservative: every marched/refined t lies
-    in [t_enter, t_exit], so points stay inside the endpoint hull."""
+def _tile_hulls(ro, rd, t_enter, t_exit, alive, tiles):
+    """[tiles, 3] x2 segment hulls: every marched/refined t lies in
+    [t_enter, t_exit], so points stay inside the endpoint hull."""
     a = ro + t_enter[:, None] * rd
     b = ro + t_exit[:, None] * rd
     lo_pts = jnp.where(alive[:, None], jnp.minimum(a, b), jnp.inf)
     hi_pts = jnp.where(alive[:, None], jnp.maximum(a, b), -jnp.inf)
     hull_lo = lo_pts.reshape(tiles, -1, 3).min(1)   # [tiles, 3]
     hull_hi = hi_pts.reshape(tiles, -1, 3).max(1)
+    return hull_lo, hull_hi
+
+
+def _hull_box_live(hull_lo, hull_hi, blk_lo, blk_hi):
+    """[tiles, NB] int32 hull/AABB overlap flags."""
     live = jnp.all(
         (hull_lo[:, None] <= blk_hi[None] + 1e-4)
         & (hull_hi[:, None] >= blk_lo[None] - 1e-4),
         -1,
     )
     return live.astype(jnp.int32)
+
+
+def _tile_block_live(ro, rd, t_enter, t_exit, alive, tiles, blk_lo, blk_hi):
+    """[tiles, NB] int32: does tile's marched-segment hull overlap each
+    prim block's support AABB? Conservative: every marched/refined t lies
+    in [t_enter, t_exit], so points stay inside the endpoint hull."""
+    hull_lo, hull_hi = _tile_hulls(ro, rd, t_enter, t_exit, alive, tiles)
+    return _hull_box_live(hull_lo, hull_hi, blk_lo, blk_hi)
 
 
 def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
@@ -494,7 +721,14 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
     render.deformed.trace_deformed_rbf_fast — falls back otherwise)."""
     from .sphere_trace import prim_interval
 
-    if disp is not None:
+    is_wendland = isinstance(disp, WendlandDisp)
+    if is_wendland:
+        assert scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0
+        max_disp = disp.max_disp
+        fp_iters = disp.fp_iters
+        bracket_margin = 0.05 + max_disp
+        shrink, slack = 1.0, 0.0  # per-tile values computed below
+    elif disp is not None:
         assert scene.is_additive and scene.capacity_prims % PRIM_BLOCK == 0
         centers, w_rbf, shrink, slack, max_disp, fp_iters = disp
         bracket_margin = 0.05 + max_disp
@@ -563,9 +797,11 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         # segment hull, so rest-space block boxes get the max-displacement
         # inflation; the in-kernel dynamic cull pulls points back first
         # and tests rest hulls against the exact rest boxes.
-        live = _tile_block_live(
-            ro, rd, t_enter, t_exit, alive0, tiles,
-            blk_lo - max_disp, blk_hi + max_disp,
+        hull_lo, hull_hi = _tile_hulls(
+            ro, rd, t_enter, t_exit, alive0, tiles
+        )
+        live = _hull_box_live(
+            hull_lo, hull_hi, blk_lo - max_disp, blk_hi + max_disp
         )
         # Per-tile stretch over statically-live blocks (0 where no block
         # is live — tile skipped anyway; floor keeps 1/x finite).
@@ -575,21 +811,63 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
         tile_inv = (
             1.0 / jnp.maximum(tile_stretch, 1e-6)
         ).astype(jnp.float32)
-        # Pack (raw inv stretch, shrink, slack) per tile — the deformed
-        # march takes max(shrink*d, d - slack) of the two sound step
-        # bounds (see _march_tile; render.deformed.trace_deformed_rbf).
+        if is_wendland:
+            # Per-tile deformed march bounds from the compact support:
+            # only center blocks whose sigma-support box touches the
+            # tile's (max_disp-inflated) segment hull can contribute
+            # anywhere this tile's pull-backs evaluate. Within that live
+            # set, L and max|u| come from the CENTER-SAMPLED per-block
+            # maxima (exact at the centers — the densest sampling the
+            # model itself provides — extended between samples by the
+            # disp_bounds_sampled safety factors); outside every support
+            # box u is EXACTLY the affine tail, bounded by certified
+            # interval arithmetic over the hull box. Tiles far from the
+            # deformation therefore march at full rest speed.
+            m_cen = disp.centers.shape[0]
+            n_cb = m_cen // CEN_BLOCK
+            cblk = disp.centers.reshape(n_cb, CEN_BLOCK, 3)
+            cb_lo = cblk.min(1) - disp.sigma           # [n_cb, 3]
+            cb_hi = cblk.max(1) + disp.sigma
+            clive = _hull_box_live(
+                hull_lo, hull_hi, cb_lo - max_disp, cb_hi + max_disp
+            )                                          # [tiles, n_cb]
+            any_alive = alive0.reshape(tiles, -1).any(-1)
+            live_g = jnp.max(
+                jnp.where(clive > 0, disp.bg[None, :], 0.0), -1
+            )                                          # [tiles]
+            live_u = jnp.max(
+                jnp.where(clive > 0, disp.bu[None, :], 0.0), -1
+            )
+            # Certified affine interval bound over the inflated hull box
+            # (the exact u wherever no center support reaches).
+            h_c = 0.5 * (hull_lo + hull_hi)            # [tiles, 3]
+            h_r = jnp.linalg.norm(
+                0.5 * (hull_hi - hull_lo), axis=-1
+            ) + max_disp                               # [tiles]
+            aff_c = disp.waff[:, 0][None] + h_c @ disp.waff[:, 1:4].T
+            aff_u = jnp.linalg.norm(aff_c, axis=-1) + disp.bfr * h_r
+            l_tile = jnp.maximum(1.25 * live_g, disp.bfr)
+            u_max = jnp.maximum(1.15 * live_u, aff_u)
+            shrink_t = jnp.where(
+                any_alive, jnp.clip(1.0 - l_tile, 0.0, 1.0), 1.0
+            )
+            slack_t = jnp.where(any_alive, 2.0 * u_max, 0.0)
+            ldrift_t = jnp.where(any_alive, l_tile, 0.0)
+        else:
+            shrink_t = jnp.broadcast_to(
+                jnp.asarray(shrink, jnp.float32), tile_inv.shape
+            )
+            slack_t = jnp.broadcast_to(
+                jnp.asarray(slack, jnp.float32), tile_inv.shape
+            )
+            ldrift_t = jnp.zeros_like(tile_inv)
+        # Pack (raw inv stretch, shrink, slack, drift L) per tile — the
+        # deformed march takes max(shrink*d, d - slack - drift) of the
+        # sound step bounds (see _march_tile;
+        # render.deformed.trace_deformed_rbf).
         tile_inv_stretch = jnp.stack(
-            [
-                tile_inv,
-                jnp.broadcast_to(
-                    jnp.asarray(shrink, jnp.float32), tile_inv.shape
-                ),
-                jnp.broadcast_to(
-                    jnp.asarray(slack, jnp.float32), tile_inv.shape
-                ),
-            ],
-            axis=-1,
-        )[:, None, :]                                  # [tiles, 1, 3]
+            [tile_inv, shrink_t, slack_t, ldrift_t], axis=-1
+        )[:, None, :]                                  # [tiles, 1, 4]
         boxes = jnp.concatenate([blk_lo, blk_hi], -1)  # [nb, 6]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -600,14 +878,24 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             (1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
         stretch_spec = pl.BlockSpec(
-            (1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
         out_shape_ = [
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
         ]
         disp_args, disp_specs = [], []
-        if disp is not None:
+        wparams = None
+        if is_wendland:
+            cboxes = jnp.concatenate([cb_lo, cb_hi], -1)   # [n_cb, 6]
+            clive_k = clive[:, None, :]                    # [tiles,1,n_cb]
+            clive_spec = pl.BlockSpec(
+                (1, 1, n_cb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            )
+            disp_args = [disp.centers, disp.w, disp.waff, cboxes, clive_k]
+            disp_specs = [vmem, vmem, vmem, smem_full, clive_spec]
+            wparams = (float(disp.sigma), n_cb)
+        elif disp is not None:
             m = centers.shape[0]
             # Row layouts for the kernel: weights transposed [3, M]; the
             # affine tail packed [3, 4] (column 0 = constant, 1:4 = B^T).
@@ -619,7 +907,7 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             disp_specs = [vmem] * 3
         t_tiles, hit_tiles = pl.pallas_call(
             partial(_trace_kernel_additive, scene, params, tile_cond, nb,
-                    fp_iters),
+                    fp_iters, wparams),
             grid=(tiles,),
             in_specs=disp_specs + [live_spec, smem_full, stretch_spec]
             + [vmem] * len(prim_args) + [ray_spec_] * 9,
@@ -791,11 +1079,15 @@ def trace_pallas_sharded(scene: Scene, ro: jax.Array, rd: jax.Array,
 
     # Traced leaves of the displacement spec travel as explicit replicated
     # args (closing over tracers inside shard_map is fragile); the static
-    # tail (max_disp, fp_iters) stays in the closure.
-    # Traced leaves: centers, weights, shrink, slack; static tail:
-    # (max_disp, fp_iters).
-    disp_arrs = () if disp is None else tuple(disp[:4])
-    disp_tail = () if disp is None else tuple(disp[4:])
+    # tail (max_disp, fp_iters) stays in the closure. A WendlandDisp is a
+    # registered pytree (static fields in its treedef), so it passes
+    # through shard_map whole under a P() prefix spec.
+    if disp is None:
+        disp_arrs, disp_tail = (), ()
+    elif isinstance(disp, WendlandDisp):
+        disp_arrs, disp_tail = (disp,), None
+    else:
+        disp_arrs, disp_tail = tuple(disp[:4]), tuple(disp[4:])
 
     @partial(
         shard_map,
@@ -807,7 +1099,12 @@ def trace_pallas_sharded(scene: Scene, ro: jax.Array, rd: jax.Array,
         check_vma=False,
     )
     def shard_trace(scene_, ro_, rd_, *disp_arrs_):
-        d = disp_arrs_ + disp_tail if disp is not None else None
+        if disp is None:
+            d = None
+        elif disp_tail is None:          # WendlandDisp passed whole
+            d = disp_arrs_[0]
+        else:
+            d = disp_arrs_ + disp_tail
         t, hit = trace_pallas(
             scene_, ro_, rd_, params, interpret=interpret,
             tile_cond=tile_cond, tile=tile, disp=d,
