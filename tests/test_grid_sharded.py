@@ -110,3 +110,55 @@ def test_differentiable_gradient(setup):
     fd = (float(lj(jnp.float32(1 + eps))) - float(lj(jnp.float32(1 - eps)))
           ) / (2 * eps)
     assert g == pytest.approx(fd, rel=5e-2)
+
+
+def test_hybrid_preconditioner_matches_global_mg_iterations():
+    """VERDICT r4 #5: the hybrid preconditioner (local fine smoothing +
+    replicated-from-level-1) must match global_mg's iteration count to
+    ~2 while gathering only the restricted residual; schwarz trades
+    iterations for zero preconditioner traffic."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.fem import grid_fem as gfm
+    from fembrain_tpu.fem import grid_sharded as gsh
+    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+
+    sc = load_blob("/root/reference/data/models/blobtree/ventricle.blob")
+    sc.flatten_instances()
+    scene = sc.pack()
+    grid = grid_for_scene(scene, cellsize=0.35)
+    tm = extract_tet_mesh(
+        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+    )
+    nodes = np.asarray(tm.nodes)[: int(tm.n_nodes)]
+    tets = np.asarray(tm.tets)[: int(tm.n_tets)]
+    fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
+    gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
+    n2g = gfm.node_to_grid_index(tm)
+    f = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
+    f[n2g, 1] = -300.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+    f = jnp.asarray(f.reshape(*grid.dims, 3))
+    ref, _ = gfm.timestep(gf, gf.rest_state(), f)
+
+    sgf = gsh.build_sharded_grid_fem(grid, tm, 4, fixed_nodes=fixed)
+    mesh = Mesh(np.array(jax.devices()[:4]), (gsh.GRID_AXIS,))
+    fs = gsh.to_shard_layout(sgf, f)
+    iters = {}
+    for prec in ("global_mg", "hybrid", "schwarz"):
+        q, v, dv = sgf.rest_state()
+        q2, _, _, it = jax.jit(
+            lambda q, v, dv, p=prec: gsh.sharded_timestep(
+                sgf, mesh, q, v, fs, dv=dv, precond=p
+            )
+        )(q, v, dv)
+        iters[prec] = int(it)
+        err = float(jnp.abs(gsh.from_shard_layout(sgf, q2) - ref.q).max())
+        assert err < 1e-5, (prec, err)
+    assert iters["hybrid"] <= iters["global_mg"] + 2, iters
+    assert iters["schwarz"] > iters["hybrid"], iters
