@@ -8,7 +8,7 @@ reports rays/s and efficiency at 1, 2, ..., N devices. On this box real
 multi-chip hardware is absent, so the default run simulates an 8-device
 mesh on CPU (--xla_force_host_platform_device_count) with the kernel in
 interpret mode; the same code path runs unchanged on a real TPU slice.
-Results are persisted as JSON lines (--out, default SCALING_r03.json).
+Results are persisted as JSON lines (--out, e.g. SCALING_r04.json).
 
 Usage:
     python tools/scaling_bench.py [--devices 8] [--width 512]
@@ -133,6 +133,80 @@ def main(argv=None) -> int:
                 sh.make_host_chip_mesh(n_hosts, cph),
                 f"{n_hosts}-hosts(sim)", n_hosts * cph,
             )
+    # Sharded GRID-backed coupled step (VERDICT r3 #3/#5/#6): CG
+    # iterations of the production multi-chip composition per
+    # preconditioner at 2/4/8 shards, plus the coupled loss for sanity.
+    if not args.tpu and nd_all >= 2:
+        import numpy as np
+
+        from jax.sharding import Mesh
+
+        from fembrain_tpu.fem import grid_fem as gfm
+        from fembrain_tpu.fem import grid_sharded as gsh
+        from fembrain_tpu.mesh.polygonize import (
+            extract_tet_mesh, grid_for_scene,
+        )
+        from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+        from fembrain_tpu.render.coupled_sharded import (
+            build_coupled_grid_sharded,
+            coupled_step_grid_sharded,
+        )
+
+        vgrid = grid_for_scene(scene, cellsize=0.3)
+        vtm = extract_tet_mesh(
+            scene, vgrid, ncap=vgrid.n_vertices, tetcap=vgrid.n_cells * 6
+        )
+        vnodes = np.asarray(vtm.nodes)[: int(vtm.n_nodes)]
+        vtets = np.asarray(vtm.tets)[: int(vtm.n_tets)]
+        vfix = bottom_nodes_per_component(vnodes, vtets, frac=0.25)
+        n2g = gfm.node_to_grid_index(vtm)
+        cam2 = Camera.orbit(30.0, 20.0, 8.0)
+        ro2, rd2 = generate_rays(cam2, 64, 36)
+        ro2, rd2 = ro2.reshape(-1, 3), rd2.reshape(-1, 3)
+        for nd in (2, 4, 8):
+            if nd > nd_all:
+                continue
+            cgs = build_coupled_grid_sharded(
+                vgrid, vtm, nd, fixed_nodes=vfix, n_centers=64,
+                kernel="wendland",
+            )
+            gmesh = Mesh(np.array(jax.devices()[:nd]), (gsh.GRID_AXIS,))
+            fg = np.zeros((int(np.prod(vgrid.dims)), 3), np.float32)
+            fg[n2g, 1] = -300.0 * np.asarray(
+                cgs.sgf.gfull.mass
+            ).reshape(-1)[n2g]
+            fgs = gsh.to_shard_layout(
+                cgs.sgf, jnp.asarray(fg.reshape(*vgrid.dims, 3))
+            )
+            q, v, dv = cgs.sgf.rest_state()
+            its = {}
+            for prec in ("hybrid", "global_mg", "schwarz"):
+                _, _, _, it = jax.jit(
+                    lambda q, v, dv, p=prec: gsh.sharded_timestep(
+                        cgs.sgf, gmesh, q, v, fgs, dv=dv, precond=p
+                    )
+                )(q, v, dv)
+                its[prec] = int(it)
+            t, hit, _, itc = jax.jit(
+                lambda q, v, dv: coupled_step_grid_sharded(
+                    scene, cgs, gmesh, q, v, dv, fgs, ro2, rd2,
+                    use_pallas=False,
+                )
+            )(q, v, dv)
+            rec = {
+                "stage": "coupled_grid_sharded",
+                "devices": nd,
+                "tets": int(vtm.n_tets),
+                "cg_iters": {**its, "coupled(hybrid)": int(itc)},
+                "loss": round(
+                    float(jnp.sum(jnp.where(hit, t, 0.0))), 3
+                ),
+                "sim": True,
+            }
+            records.append(rec)
+            print(json.dumps(rec))
+            sys.stdout.flush()
+
     if args.out:
         with open(args.out, "a") as f:
             for rec in records:
