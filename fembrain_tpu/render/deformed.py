@@ -387,7 +387,8 @@ def _factor_interp(c, kind: str, sigma: float) -> "np.ndarray":
 def build_disp_interp(nodes, n_centers: int | None = None,
                       fixed=None, kernel: str = "biharmonic",
                       sigma_fill: float = WENDLAND_SIGMA_FILL,
-                      extra_centers=None) -> DispInterp:
+                      extra_centers=None, sigma: float | None = None,
+                      ) -> DispInterp:
     """Farthest-point-sample `n_centers` FEM nodes and factor the kernel
     interpolation system (host-side, once per mesh topology).
     n_centers=None picks adaptive_centers(len(nodes)). Including fixed
@@ -424,13 +425,16 @@ def build_disp_interp(nodes, n_centers: int | None = None,
     if kernel != "biharmonic":
         idx = idx[_morton_order(nodes[idx])]
     c = nodes[idx]
-    # Support scale: the fill distance, floored by the median
-    # nearest-center spacing (fill collapses to 0 when every node is a
-    # center — e.g. tiny test meshes).
-    pair = np.linalg.norm(c[:, None] - c[None], axis=-1)
-    np.fill_diagonal(pair, np.inf)
-    spacing = float(np.median(pair.min(1))) if len(c) > 1 else 1.0
-    sigma = sigma_fill * max(fill, spacing, 1e-6)
+    if sigma is None:
+        # Support scale: the fill distance, floored by the median
+        # nearest-center spacing (fill collapses to 0 when every node is
+        # a center — e.g. tiny test meshes). Refinement passes an
+        # explicit sigma so locally-densified centers keep the base
+        # support radius.
+        pair = np.linalg.norm(c[:, None] - c[None], axis=-1)
+        np.fill_diagonal(pair, np.inf)
+        spacing = float(np.median(pair.min(1))) if len(c) > 1 else 1.0
+        sigma = sigma_fill * max(fill, spacing, 1e-6)
     a_inv = _factor_interp(c, kernel, sigma)
     return DispInterp(
         centers=jnp.asarray(c, jnp.float32),
@@ -439,6 +443,66 @@ def build_disp_interp(nodes, n_centers: int | None = None,
         fill_dist=jnp.asarray(fill, jnp.float32),
         kind=kernel,
         sigma=float(sigma),
+    )
+
+
+def refine_disp_interp(interp: DispInterp, nodes, u,
+                       n_extra: int = 64, batch: int = 8,
+                       fixed=None) -> DispInterp:
+    """ERROR-DRIVEN center refinement (reference FastRBF greedily adds
+    centers to fitting accuracy, /root/reference/src/implicit/RBF.h:81-84
+    — it refines by error, not geometry): given a representative
+    displacement sample `u` [N, 3] at `nodes` (e.g. the settled FEM sag,
+    or post-cut state), repeatedly fit, rank the per-node residual
+    |u - u_interp|, and add the worst-fit nodes as new centers (batch at
+    a time, spaced at least half the local center spacing so a single
+    bad region doesn't soak up the whole budget). The kernel support
+    sigma stays the BASE interp's — refinement densifies locally without
+    shrinking the global support scale. Host-side, once per topology or
+    after a settle/cut."""
+    import numpy as np
+
+    nodes = np.asarray(nodes, np.float64)
+    u = np.asarray(u, np.float64)
+    idx = list(np.asarray(interp.center_nodes))
+    sigma = float(interp.sigma) if interp.kind != "biharmonic" else None
+    for _ in range(-(-n_extra // batch)):
+        c = nodes[idx]
+        a_inv = _factor_interp(
+            c, interp.kind,
+            sigma if sigma is not None else 1.0,
+        )
+        rhs = np.concatenate([u[idx], np.zeros((4, 3))], 0)
+        w = a_inv @ rhs
+        d = np.linalg.norm(nodes[:, None] - c[None], axis=-1)
+        if interp.kind == "biharmonic":
+            phi = d
+        else:
+            t = np.minimum(d / sigma, 1.0)
+            phi = (1.0 - t) ** 4 * (4.0 * t + 1.0)
+        uh = phi @ w[: len(idx)] + w[len(idx)] + nodes @ w[len(idx) + 1:]
+        resid = np.linalg.norm(uh - u, axis=-1)
+        resid[idx] = 0.0
+        min_sep = 0.5 * float(np.median(np.sort(d, axis=1)[:, 0] + 1e-9))
+        order = np.argsort(-resid)
+        added = []
+        for j in order:
+            if len(added) >= batch or resid[j] <= 0:
+                break
+            if all(
+                np.linalg.norm(nodes[j] - nodes[k]) > min_sep
+                for k in added
+            ):
+                added.append(int(j))
+        if not added:
+            break
+        idx.extend(added)
+        if len(idx) >= len(interp.center_nodes) + n_extra:
+            break
+    base_m = len(np.asarray(interp.center_nodes))
+    return build_disp_interp(
+        nodes, n_centers=base_m, fixed=fixed, kernel=interp.kind,
+        sigma=sigma, extra_centers=idx[base_m:],
     )
 
 

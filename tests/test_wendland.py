@@ -139,3 +139,43 @@ def test_wendland_gradients_flow(setup):
     fd = (float(loss(jnp.float32(1 + eps)))
           - float(loss(jnp.float32(1 - eps)))) / (2 * eps)
     assert abs(g - fd) / max(1e-6, abs(fd)) < 0.2, (g, fd)
+
+
+def test_error_driven_refinement_beats_uniform_fps(setup):
+    """VERDICT r4 #8 (reference RBF.h:81-84 refines by fitting error):
+    with a localized deformation (contact dimple), error-driven extra
+    centers cut the worst-case fit error by far more than 2x at EQUAL
+    center count vs uniform farthest-point sampling."""
+    from fembrain_tpu.render.deformed import refine_disp_interp
+
+    # Finer mesh than the module fixture (refinement needs node count
+    # well above the center count).
+    scene = load_blob(SPHERE).pack()
+    grid = grid_for_scene(scene, cellsize=0.18)
+    tm = extract_tet_mesh(
+        scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+    )
+    nodes = np.asarray(tm.nodes)[: int(tm.n_nodes)]
+    y = nodes[:, 1]
+    s = (y - y.min()) / max(y.max() - y.min(), 1e-6)
+    u2 = np.zeros_like(nodes)
+    u2[:, 1] = -0.15 * s**2
+    p0 = nodes[np.argmax(nodes[:, 0])]
+    r = np.linalg.norm(nodes - p0, axis=-1)
+    u2[:, 0] -= 0.12 * np.exp(-((r / 0.3) ** 2))
+    u2 = jnp.asarray(u2, jnp.float32)
+
+    def err(it):
+        w = disp_weights(it, u2)
+        return float(jnp.abs(
+            sample_disp_rbf(it, w, jnp.asarray(nodes, jnp.float32)) - u2
+        ).max())
+
+    base = build_disp_interp(nodes, n_centers=64, kernel="wendland",
+                             sigma_fill=2.5)
+    uniform96 = build_disp_interp(nodes, n_centers=96, kernel="wendland",
+                                  sigma_fill=2.5)
+    refined = refine_disp_interp(base, nodes, np.asarray(u2), n_extra=32)
+    assert refined.centers.shape[0] == 96
+    assert err(refined) < 0.5 * err(uniform96), (err(refined),
+                                                 err(uniform96))
