@@ -317,7 +317,15 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
 def _secondary_metrics(on_tpu: bool) -> None:
     """FEM solve steps/s: the legacy unstructured solver on a truth cube
     (round-over-round continuity) and the production grid-multigrid
-    solver on the ventricle's own 61k-tet embedded mesh."""
+    solver on the ventricle's own 61k-tet embedded mesh.
+
+    NOTE on the r2 -> r3 fem_solve_steps_per_sec drop (44.65 -> ~36,
+    cg_iters 208 -> 258): round 3 forced f32 MXU precision on every
+    einsum feeding the CG operator (fem/integrator.py _F32 — the TPU
+    bf16 default perturbs K_eff ~0.4% and makes CG DIVERGE at the
+    61k-tet production mesh). The r2 number was measured on the subtly
+    wrong bf16 operator; the slowdown is the price of a correct solve,
+    not a regression in the solver."""
     import numpy as np
 
     import jax
