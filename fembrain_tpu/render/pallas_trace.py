@@ -41,7 +41,7 @@ TILE = 2048  # rays per kernel instance (lanes)
 DEBUG_MARCH_ITERS = False  # write march while-iteration counts to hit_out
 DEBUG_PULLBACK_ABLATE = 0  # 0=full, 1=affine-only, 2=identity pull-back
 PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
-CEN_BLOCK = 16  # RBF centers per cull block (wendland deformed trace):
+CEN_BLOCK = 32  # RBF centers per cull block (wendland deformed trace):
                 # big enough that each un-culled block is one meaty
                 # [CB, T] vector computation (few conds, good pipeline
                 # utilization), small enough that Morton blocks stay

@@ -64,11 +64,16 @@ def support_radius_bound(fv):
     step, a stale (smaller) bound is still safe, and sharing one table
     between the XLA tracer and the Pallas kernel keeps their march step
     sequences — and therefore grazing-ray hits — identical."""
-    r = jnp.full_like(fv, 0.4544)  # r at f = iso = 0.5
-    r = jnp.where(fv <= 0.30, 0.575, r)
-    r = jnp.where(fv <= 0.15, 0.684, r)
-    r = jnp.where(fv <= 0.05, 0.794, r)
-    r = jnp.where(fv <= 0.001, 0.948, r)
+    r = jnp.full_like(fv, 0.4542)  # r at f = iso = 0.5
+    r = jnp.where(fv <= 0.30, 0.5749, r)
+    r = jnp.where(fv <= 0.20, 0.6444, r)
+    r = jnp.where(fv <= 0.15, 0.6846, r)
+    r = jnp.where(fv <= 0.10, 0.7320, r)
+    r = jnp.where(fv <= 0.05, 0.7947, r)
+    r = jnp.where(fv <= 0.02, 0.8536, r)
+    r = jnp.where(fv <= 0.005, 0.9105, r)
+    r = jnp.where(fv <= 0.001, 0.9487, r)
+    r = jnp.where(fv <= 0.0001, 0.9765, r)
     return r
 
 
