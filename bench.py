@@ -435,48 +435,72 @@ def _gradient_metrics(on_tpu: bool) -> None:
     from fembrain_tpu.render.sphere_trace import trace
 
     def scene_grad_check(name: str, zoom: float):
+        """Autodiff-vs-FD on d(sum of hit t)/d(prim_pos).
+
+        VERDICT r4 #3: the old version always differentiated prim 0,
+        whose gradient at this camera can be exactly zero (no hit ray
+        in its support) — a vacuous 0-vs-0 comparison. Now the check
+        (a) asserts rays actually hit, (b) picks the primitive with the
+        LARGEST autodiff gradient, and (c) asserts the FD magnitude is
+        above a floor, so the reported rel err certifies a real
+        gradient."""
         scene = _load_scene(name)
         cam = Camera.orbit(15.0, 10.0, zoom)
         ro, rd = generate_rays(cam, 16, 16)
         ro_, rd_ = ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+        _, hit0 = jax.jit(lambda s: trace(s, ro_, rd_))(scene)
+        n_hit = int(jnp.sum(hit0))
+        assert n_hit > 0, f"{name}: no hit rays at the check camera"
 
         def loss(pos):
             s = dataclasses.replace(scene, prim_pos=pos)
             t, hit = trace(s, ro_, rd_)
             return jnp.sum(jnp.where(hit, t, 0.0))
 
-        g = np.asarray(jax.jit(jax.grad(loss))(scene.prim_pos))[0]
+        g_all = np.asarray(jax.jit(jax.grad(loss))(scene.prim_pos))
+        p = int(np.argmax(np.abs(g_all[: scene.n_prims]).sum(-1)))
+        g = g_all[p]
         loss_j = jax.jit(loss)
         eps = 1e-3
         base = np.asarray(scene.prim_pos)
         err = 0.0
+        fd_mag = 0.0
         for k in range(3):
             dp, dm = base.copy(), base.copy()
-            dp[0, k] += eps
-            dm[0, k] -= eps
+            dp[p, k] += eps
+            dm[p, k] -= eps
             fd = (
                 float(loss_j(jnp.asarray(dp)))
                 - float(loss_j(jnp.asarray(dm)))
             ) / (2 * eps)
+            fd_mag = max(fd_mag, abs(fd))
             err = max(err, float(abs(g[k] - fd)) / max(1.0, abs(fd)))
-        return err
+        # A zero-vs-zero comparison certifies nothing: require a real
+        # gradient on the differentiated primitive.
+        assert fd_mag > 1e-3, f"{name}: |FD| {fd_mag:.2e} below floor"
+        return err, p, fd_mag, n_hit
 
+    err_s, p_s, fd_s, hit_s = scene_grad_check("sphere", 2.0)
     print(
         json.dumps(
             {
                 "metric": "grad_check_max_rel_err",
-                "value": round(scene_grad_check("sphere", 2.0), 6),
-                "unit": "relative (sphere, 1 prim)",
+                "value": round(err_s, 6),
+                "unit": f"relative (sphere, 1 prim, |FD|={fd_s:.3g}, "
+                        f"{hit_s} hit rays)",
             }
         ),
         file=sys.stderr,
     )
+    err_v, p_v, fd_v, hit_v = scene_grad_check("ventricle", 8.0)
     print(
         json.dumps(
             {
                 "metric": "grad_check_ventricle_max_rel_err",
-                "value": round(scene_grad_check("ventricle", 8.0), 6),
-                "unit": "relative (ventricle, 17 prims)",
+                "value": round(err_v, 6),
+                "unit": f"relative (ventricle, 17 prims, prim {p_v}, "
+                        f"|FD|={fd_v:.3g}, {hit_v} hit rays)",
             }
         ),
         file=sys.stderr,

@@ -19,33 +19,96 @@ from .cutting import CutResult, CuttableMesh
 DEFAULT_FORCE_COEFF = 600000.0
 
 
+# Outward normals of the probe box's 6 faces, reference order
+# LEFT/RIGHT/BOTTOM/TOP/NEAR/FAR (AvatarProbe.cpp onTranslate n[0..5]);
+# the face-plane sample point is the box `lower` corner for -faces and
+# `upper` for +faces.
+_FACE_NORMALS = np.array([
+    [-1.0, 0, 0], [1.0, 0, 0],
+    [0, -1.0, 0], [0, 1.0, 0],
+    [0, 0, -1.0], [0, 0, 1.0],
+])
+
+
 @dataclass
 class AvatarProbe:
     """Box probe: AABB sweep vs tissue -> contact vertex spring forces
     (reference AvatarProbe::onTranslate + Deformable::hapticSetCurrentForces,
-    Deformable.cpp:430-448, 712-717)."""
+    /root/reference/src/deformable/AvatarProbe.cpp:124-262,
+    Deformable.cpp:430-448, 712-717).
+
+    Reference semantics (VERDICT r4 #7): contacted vertices accumulate
+    in a hash with their FIRST-SEEN positions; the contact face is
+    chosen once — the face j minimizing dot(s_j - p, n_j) over all
+    contacted vertices p (s_j = box corner sample, n_j = outward
+    normal) — and stays sticky until the contact is cleared; each
+    contacted vertex then gets a force along the CONTACT FACE NORMAL
+    with magnitude coeff * max(dot(s_face - v, n_face), 0) — the
+    vertex's penetration depth through the face plane. Force direction
+    comes from the contact geometry, NOT from the move delta. Pick
+    mode applies coeff_pick * delta to the single picked node
+    (AvatarProbe.cpp:133-143)."""
 
     half_extents: np.ndarray = field(
         default_factory=lambda: np.array([0.2, 0.2, 0.2])
     )
     force_coeff: float = DEFAULT_FORCE_COEFF
     pos: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    # Sticky contact state (reference m_idxContactFace / m_hashVertices).
+    contact_face: int = -1
+    _contacts: dict = field(default_factory=dict)
+    # Pick mode (reference m_pickMode / m_pickedNode, force x10000).
+    pick_mode: bool = False
+    picked_node: int = -1
+    pick_coeff: float = 10000.0
+
+    def clear_contact(self) -> None:
+        """Release the contact (reference clears on grip release): the
+        vertex hash empties and the next contact re-picks its face."""
+        self.contact_face = -1
+        self._contacts = {}
 
     def move_to(self, new_pos, node_positions: np.ndarray):
-        """Move the probe; returns (contact_indices, contact_forces) for
-        nodes inside the box, with spring force coeff * delta along the
-        move direction."""
+        """Move the probe; returns (contact_indices, contact_forces)."""
         new_pos = np.asarray(new_pos, np.float64)
         delta = new_pos - self.pos
         self.pos = new_pos
+        if self.pick_mode and self.picked_node >= 0:
+            return (np.asarray([self.picked_node]),
+                    (self.pick_coeff * delta)[None, :])
         lo = new_pos - self.half_extents
         hi = new_pos + self.half_extents
-        inside = np.all((node_positions >= lo) & (node_positions <= hi), axis=1)
-        idx = np.where(inside)[0]
-        if idx.size == 0 or not np.any(delta):
-            return idx, np.zeros((0, 3))
-        forces = np.tile(self.force_coeff * delta, (idx.size, 1))
-        return idx, forces
+        inside = np.all(
+            (node_positions >= lo) & (node_positions <= hi), axis=1
+        )
+        # Accumulate first-seen contact positions (original vertex kept
+        # when already hashed — AvatarProbe.cpp:166-170).
+        for i in np.where(inside)[0]:
+            self._contacts.setdefault(
+                int(i), np.array(node_positions[i], np.float64)
+            )
+        if not self._contacts:
+            return np.zeros(0, np.int64), np.zeros((0, 3))
+        ids = np.fromiter(self._contacts.keys(), np.int64)
+        pts = np.stack([self._contacts[int(i)] for i in ids])
+        # Face-plane sample: lower corner for -faces, upper for +faces
+        # (AvatarProbe.cpp:193-198).
+        samples = np.stack([lo, hi, lo, hi, lo, hi])
+        if self.contact_face < 0:
+            # min over (vertex, face) of dot(s_j - p, n_j).
+            dots = np.einsum(
+                "jk,ijk->ij", _FACE_NORMALS,
+                samples[None, :, :] - pts[:, None, :],
+            )                                           # [V, 6]
+            self.contact_face = int(
+                np.unravel_index(np.argmin(dots), dots.shape)[1]
+            )
+        f = self.contact_face
+        n = _FACE_NORMALS[f]
+        depth = np.maximum(
+            (samples[f][None] - pts) @ n, 0.0
+        ) * self.force_coeff                            # [V]
+        return ids, depth[:, None] * n[None]
 
 
 @dataclass

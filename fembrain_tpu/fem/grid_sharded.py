@@ -10,12 +10,16 @@ contributions) plus two scalar psums for the dots — boundary-surface
 communication, like fem.partitioned but with the grid solver's
 zero-gather stencil math and MXU element products.
 
-Preconditioner: restricted additive Schwarz — each shard runs its LOCAL
-multigrid V-cycle (its slab's rediscretized hierarchy with Dirichlet
-walls at the slab boundary, dense direct coarse solve), NO communication
-inside the preconditioner. Iteration counts grow mildly with the shard
-count (no global coarse correction yet); tests pin solution equality
-against the single-device solver.
+Preconditioner (default "hybrid"): the GLOBAL multigrid V-cycle with its
+fine level computed shard-wise (local smoothing + plane-halo stencil
+applies + sharded full-weighting restriction) and the hierarchy from
+level 1 down replicated via an all_gather of the restricted residual
+(1/8 of the fine grid). Iteration counts match the replicated global
+V-cycle to ~1 at 2-8 shards. Alternatives: "global_mg" (all_gather the
+full fine residual — identical iterations, more traffic) and "schwarz"
+(communication-free local V-cycles with Dirichlet slab walls — ~4x the
+iterations). Tests pin solution equality against the single-device
+solver.
 """
 from __future__ import annotations
 
@@ -289,7 +293,15 @@ def sharded_timestep(
             return jnp.where(free, out, v)
 
         if (precond == "hybrid" and sgf_s.gfull is not None
-                and len(sgf_s.gfull.levels) > 1 and Xl % 2 == 0):
+                and len(sgf_s.gfull.levels) > 1 and Xl % 2 == 0
+                # The sharded restriction produces D*(Xl/2) coarse X
+                # planes; if the global hierarchy has MORE (odd-X
+                # grids), the topmost coarse plane would be zero-filled
+                # on restriction but still prolonged — restriction and
+                # prolongation would no longer be exact adjoints and
+                # PCG's SPD requirement would be silently violated
+                # (ADVICE r4 #4). Fall back to global_mg then.
+                and D * (Xl // 2) >= sgf_s.gfull.levels[1].dims[0]):
             # HYBRID multigrid (round 4, VERDICT r3 #5): the global
             # V-cycle computed shard-wise at the FINE level — local
             # block-Jacobi smoothing + linear stencil applies with plane
@@ -392,7 +404,11 @@ def sharded_timestep(
                 # post-smooth (symmetric V(1,1))
                 z3 = z2 + jac(r - lin_mv(z2))
                 return jnp.where(free, z3, 0.0)
-        elif precond == "global_mg" and sgf_s.gfull is not None:
+        elif (precond in ("global_mg", "hybrid")
+                and sgf_s.gfull is not None):
+            # (a hybrid request that failed its exactness gate above
+            # falls back here, NOT to schwarz — same iteration counts,
+            # just more all_gather traffic)
             # Replicated global V-cycle on the all_gathered residual:
             # iteration counts match the single-device solver exactly.
             gfull: GridFem = sgf_s.gfull

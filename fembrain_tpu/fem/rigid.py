@@ -279,7 +279,13 @@ def rigid_step_6dof(
             ground_stiffness * depth - damp * v_c[:, 1],
             0.0,
         )
-        fy = jnp.maximum(fy, 0.0)
+        # Normalize by the penetrating-corner count (same scheme as
+        # box_tissue_forces): the effective interface stiffness/damping
+        # must not scale with how many corners touch — a face resting
+        # flat (4 corners) would otherwise see 4x k_eff and a stability
+        # margin 2x tighter than the per-corner analysis (ADVICE r4 #3).
+        n_pen = jnp.maximum(jnp.sum((depth > 0).astype(fy.dtype)), 1.0)
+        fy = jnp.maximum(fy, 0.0) / n_pen
         fc = jnp.stack(
             [jnp.zeros_like(fy), fy, jnp.zeros_like(fy)], -1
         )                                                   # [8, 3]

@@ -365,23 +365,36 @@ def _morton_order(pts) -> "np.ndarray":
 
 
 def _factor_interp(c, kind: str, sigma: float) -> "np.ndarray":
-    """Inverse of the kernel saddle system [[phi, P], [P^T, 0]] for
-    centers c [M, 3] (float64 host math)."""
+    """Inverse of the interpolation system for centers c [M, 3]
+    (float64 host math), embedded in the uniform [M+4, M+4] layout.
+
+    biharmonic: the saddle system [[phi, P], [P^T, 0]] — |x-c| is only
+    conditionally positive definite, so the polynomial tail is required.
+    wendland: the kernel is POSITIVE DEFINITE, so the plain phi system
+    is well-posed WITHOUT a polynomial tail — and dropping it is what
+    makes the interpolant EXACTLY ZERO beyond sigma of every center
+    (an affine tail has global support and would force every deformed
+    march step everywhere in the scene to pay displacement slack; with
+    w[m:] = 0 the Pallas march is certified pull-free and full-speed
+    wherever no center block is live — see pallas_trace step_ctrl).
+    The affine rows of the inverse are zero so downstream layouts
+    ([M+4, 3] weights with w[m:] as the affine part) are unchanged."""
     import numpy as np
 
     m = len(c)
     d = np.linalg.norm(c[:, None] - c[None], axis=-1)
+    a = np.zeros((m + 4, m + 4))
     if kind == "biharmonic":
         phi = d
-    else:
-        t = np.minimum(d / sigma, 1.0)
-        phi = (1.0 - t) ** 4 * (4.0 * t + 1.0)
-    p = np.concatenate([np.ones((m, 1)), c], 1)  # [M, 4]
-    a = np.zeros((m + 4, m + 4))
-    a[:m, :m] = phi + 1e-9 * np.eye(m)
-    a[:m, m:] = p
-    a[m:, :m] = p.T
-    return np.linalg.inv(a)
+        p = np.concatenate([np.ones((m, 1)), c], 1)  # [M, 4]
+        a[:m, :m] = phi + 1e-9 * np.eye(m)
+        a[:m, m:] = p
+        a[m:, :m] = p.T
+        return np.linalg.inv(a)
+    t = np.minimum(d / sigma, 1.0)
+    phi = (1.0 - t) ** 4 * (4.0 * t + 1.0)
+    a[:m, :m] = np.linalg.inv(phi + 1e-9 * np.eye(m))
+    return a
 
 
 def build_disp_interp(nodes, n_centers: int | None = None,
@@ -804,7 +817,8 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
                             interpret: bool = False,
                             fp_iters: int = FIXED_POINT_ITERS,
                             need_grads: bool = True,
-                            bound_pts: jax.Array | None = None):
+                            bound_pts: jax.Array | None = None,
+                            tile: int | None = None):
     """RBF-deformed sphere trace at Pallas tile speed.
 
     The forward march runs inside the additive Pallas kernel with the
@@ -820,8 +834,11 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
     tracer off the additive fast path (warps, huge op counts, CPU)."""
     from ..ops.field import supports_rows_fast_path
     from .pallas_trace import (
-        PRIM_BLOCK, trace_pallas, trace_pallas_image,
+        PRIM_BLOCK, TILE, trace_pallas, trace_pallas_image,
     )
+
+    if tile is None:
+        tile = TILE
 
     fast_ok = (
         scene.is_additive
@@ -866,10 +883,11 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
         if image_hw is not None:
             return trace_pallas_image(
                 scene_, ro_, rd_, image_hw[0], image_hw[1], params,
-                interpret=interpret, disp=disp,
+                interpret=interpret, disp=disp, tile=tile,
             )
         return trace_pallas(
-            scene_, ro_, rd_, params, interpret=interpret, disp=disp
+            scene_, ro_, rd_, params, interpret=interpret, disp=disp,
+            tile=tile,
         )
 
     def raw_fwd(scene_, w_, ro_, rd_):

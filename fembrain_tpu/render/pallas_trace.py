@@ -40,6 +40,9 @@ from .sphere_trace import TraceParams, support_radius_bound, trace as trace_xla
 TILE = 2048  # rays per kernel instance (lanes)
 DEBUG_MARCH_ITERS = False  # write march while-iteration counts to hit_out
 DEBUG_PULLBACK_ABLATE = 0  # 0=full, 1=affine-only, 2=identity pull-back
+DEBUG_PULL_STATS = False   # t_out = per-lane pulled-eval count,
+                           # hit_out = tile pull evals (lane 0 carries
+                           # the tile's total live-center-block evals)
 PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
 CEN_BLOCK = 32  # RBF centers per cull block (wendland deformed trace):
                 # big enough that each un-culled block is one meaty
@@ -91,7 +94,7 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 inv_stretch: float, base_step, ro, rd,
                 t_enter, t_exit, alive0, tile_cond: bool,
                 shrink=None, slack=None, eval_c=None, carry0=None,
-                drift_fn=None, refresh_fn=None):
+                step_ctrl=None):
     """Shared tile march: sphere-trace [1, TILE] ray rows to the iso
     crossing with tile-local early exit, then refine the bracket. eval_f
     maps a [1, TILE] t-row to field-minus-iso. Returns (t_root, found).
@@ -105,18 +108,20 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
     The subtractive bound dominates in the far field where the loose
     global Lipschitz constant would throttle exactly the biggest steps.
 
-    eval_c/carry0: stateful evaluation for the warm-started deformed
-    pull-back — eval_c(t, carry, refresh) -> (f, carry') threads the last
-    refreshed rest-space points through the march; `refresh` is a traced
-    tile-wide bool (None = always refresh). refresh_fn(f, alive, it)
-    decides it per step: periodic in the far field, every eval in the
-    near-surface zone (stale evals there corrupt the crossing bracket).
-    drift_fn(carry, t) -> per-lane extra slack covering the staleness of
-    the carried pull-back between refreshes."""
+    eval_c/carry0: stateful evaluation for the deformed pull-back —
+    eval_c(t, carry, mask) -> (f, carry') where `mask` is a per-lane bool
+    row selecting which lanes evaluate the PULLED-BACK (deformed) field;
+    unmasked lanes evaluate the rest field at the raw ray point (sound
+    while their rest-distance bound exceeds the displacement bound —
+    see _trace_kernel_additive step_ctrl). mask=None means "all
+    initially-alive lanes" (entry eval and bracket refinement).
+    step_ctrl(d, carry, alive) -> (d_safe, mask_next) converts the
+    rest-support distance d into the per-lane safe deformed step and the
+    pull mask for the NEXT eval."""
     iso = params.iso
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
     if eval_c is None:
-        def eval_c(t, carry, refresh=None):  # noqa: ARG001 — stateless
+        def eval_c(t, carry, mask=None):  # noqa: ARG001 — stateless
             return eval_f(t), carry
         carry0 = ()
 
@@ -138,24 +143,20 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
 
         def step_once(s):
             t, f, t_prev, f_prev, found, alive, it, car = s
+            ref = None
             if adaptive:
                 # Shared piecewise bound (sphere_trace.support_radius_bound)
                 # so the XLA and Pallas marches take identical steps.
                 r = support_radius_bound(f + iso)
                 d = (r - r_iso) * inv_stretch
-                if shrink is not None:
-                    sl = slack
-                    if drift_fn is not None:
-                        # The f that fed this bound was evaluated with a
-                        # stale pull-back; widen the subtractive slack by
-                        # the staleness bound (L * distance since refresh).
-                        sl = sl + drift_fn(car, t)
-                    d = jnp.maximum(shrink * d, d - sl)
+                if step_ctrl is not None:
+                    d, ref = step_ctrl(d, car, alive)
+                elif shrink is not None:
+                    d = jnp.maximum(shrink * d, d - slack)
                 dt = jnp.maximum(base_step, 0.95 * d)
             else:
                 dt = base_step
             t_new = jnp.minimum(t + dt, t_exit)
-            ref = None if refresh_fn is None else refresh_fn(f, alive, it)
             f_new, car = eval_c(t_new, car, ref)
             is_alive = alive > 0.0
             crossed = is_alive & (f_new >= 0.0)
@@ -182,6 +183,9 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
         t, f, t_prev, f_prev, found, alive, n_it, car = jax.lax.while_loop(
             cond, body, state
         )
+        if DEBUG_PULL_STATS and step_ctrl is not None:
+            # Wendland carry layout: (..., cnt_pull, cnt_blocks).
+            return car[6], car[7]
         if DEBUG_MARCH_ITERS:
             # Root output carries the while-iteration count instead
             # (the hit path bool-thresholds, t passes through raw).
@@ -193,10 +197,15 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
         # Bracket field values ride along from the march state: the
         # closing secant costs no extra field evaluations (mirrors
         # sphere_trace.trace exactly to keep step/root parity).
+        # Refinement evals pull back only the FOUND lanes (non-crossed
+        # lanes' brackets are dead values), so the pull-back hull stays
+        # tight around the actual surface points.
+        bis_mask = None if step_ctrl is None else (found > 0.0)
+
         def bis_body(_, st):
             a, b, fa, fb, car = st
             m = 0.5 * (a + b)
-            fm, car = eval_c(m, car, None)
+            fm, car = eval_c(m, car, bis_mask)
             neg = fm < 0.0
             return (
                 jnp.where(neg, m, a),
@@ -332,7 +341,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     against the carried rest-point hull, warm-started across march steps
     (one fixed-point iteration per eval — see _march_tile eval_c)."""
     if fp_iters and wparams is not None:
-        (cen, wr, waff, cboxes, clive, *args) = args
+        (cen, wr, waff, cboxes, clive, bnd, *args) = args
     elif fp_iters:
         (cen, wr, waff, *args) = args
     (live, boxes, stretch, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
@@ -360,7 +369,8 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     inv_stretch = stretch[0, 0, 0]
     shrink_s = stretch[0, 0, 1]
     slack_s = stretch[0, 0, 2]
-    l_drift = stretch[0, 0, 3]
+    # stretch[0, 0, 3] is a spare slot (was the r4 drift Lipschitz bound;
+    # the raw/pulled march needs no staleness slack).
     present = scene.prim_types_present
     B = PRIM_BLOCK
 
@@ -459,18 +469,22 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
         f = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(px))
         return f - iso
 
-    eval_f = eval_c = carry0 = drift_fn = refresh_fn = None
+    eval_f = eval_c = carry0 = step_ctrl = None
     if fp_iters and wparams is not None:
         # PRODUCTION deformed path: wendland pull-back with per-eval
-        # center-block culling + warm start. One fixed-point iteration
-        # x <- p - u(x) per eval from the carried rest points (see
-        # _march_tile eval_c); u's compact support makes the per-block
-        # skip EXACT (phi = 0 beyond sigma).
+        # center-block culling. Far-from-surface lanes evaluate the REST
+        # field at the raw ray point (zero pull-back cost — sound while
+        # their rest-distance bound exceeds the tile's max|u|, see
+        # step_ctrl below); near-surface lanes pull back on EVERY eval
+        # (one warm-started fixed-point iteration x <- p - u(x), so
+        # there is no staleness to cover with drift slack). u's compact
+        # support makes the per-block skip EXACT (phi = 0 beyond sigma).
         sigma, n_cb = wparams
         inv_sig = 1.0 / sigma
         CB = CEN_BLOCK
+        u_max_t = 0.5 * slack_s  # tile bound on max|u| (slack = 2 max|u|)
 
-        def pull_one(xx, yy, zz, px, py, pz):
+        def pull_one(xx, yy, zz, px, py, pz, pmask):
             # Affine tail (always on — it has global support).
             ux = (waff[0:1, 0:1] + waff[0:1, 1:2] * xx
                   + waff[0:1, 2:3] * yy + waff[0:1, 3:4] * zz)
@@ -478,17 +492,17 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
                   + waff[1:2, 2:3] * yy + waff[1:2, 3:4] * zz)
             uz = (waff[2:3, 0:1] + waff[2:3, 1:2] * xx
                   + waff[2:3, 2:3] * yy + waff[2:3, 3:4] * zz)
-            # Spatial hull of the points u is evaluated AT: pull-backs
-            # now run only on refresh evals (mostly near the surface,
-            # where the tile's points cluster tightly), so the hull+cond
-            # cull skips most blocks EXACTLY (compact support) and its
-            # reduction cost amortizes over the skipped compute.
-            hx_lo = jnp.min(jnp.where(hull_mask, xx, 1e30))
-            hx_hi = jnp.max(jnp.where(hull_mask, xx, -1e30))
-            hy_lo = jnp.min(jnp.where(hull_mask, yy, 1e30))
-            hy_hi = jnp.max(jnp.where(hull_mask, yy, -1e30))
-            hz_lo = jnp.min(jnp.where(hull_mask, zz, 1e30))
-            hz_hi = jnp.max(jnp.where(hull_mask, zz, -1e30))
+            # Spatial hull of the lanes whose pull-back RESULT is used
+            # (pmask): pulled lanes cluster near the surface, so the
+            # hull+cond cull skips most blocks EXACTLY (compact support)
+            # and its reduction cost amortizes over the skipped compute.
+            # Lanes outside pmask get garbage u — discarded by eval_c.
+            hx_lo = jnp.min(jnp.where(pmask, xx, 1e30))
+            hx_hi = jnp.max(jnp.where(pmask, xx, -1e30))
+            hy_lo = jnp.min(jnp.where(pmask, yy, 1e30))
+            hy_hi = jnp.max(jnp.where(pmask, yy, -1e30))
+            hz_lo = jnp.min(jnp.where(pmask, zz, 1e30))
+            hz_hi = jnp.max(jnp.where(pmask, zz, -1e30))
 
             def cb_live(b):
                 return (
@@ -503,6 +517,12 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
 
             def cb_add(o):
                 def add(uu):
+                    # NOTE r5: an MXU form of this block (recentered
+                    # quadratic distance + [3,CB]x[CB,T] weight
+                    # contraction, mirroring _pull_back_rows) measured
+                    # 75 ms/frame vs 61 for this VPU form — K=3 / M=3
+                    # matmuls waste the 128x128 systolic array and add
+                    # layout moves. Keep the broadcast form.
                     ax, ay, az = uu
                     dx = xx - cen[pl.ds(o, CB), 0:1]       # [CB, T]
                     dy = yy - cen[pl.ds(o, CB), 1:2]
@@ -529,68 +549,158 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
 
             uu = (ux, uy, uz)
             if DEBUG_PULLBACK_ABLATE == 1:
-                return px - ux, py - uy, pz - uz
+                return px - ux, py - uy, pz - uz, jnp.zeros(())
+            nlive = jnp.zeros(())
             for b in range(n_cb):
-                uu = jax.lax.cond(cb_live(b), cb_add(b * CB),
+                lv = cb_live(b)
+                nlive = nlive + lv.astype(jnp.float32)
+                uu = jax.lax.cond(lv, cb_add(b * CB),
                                   lambda u_: u_, uu)
             ux, uy, uz = uu
-            return px - ux, py - uy, pz - uz
+            return px - ux, py - uy, pz - uz, nlive
 
-        K_REFRESH = 4
-        NEAR_F = -0.15  # f-minus-iso near-surface refresh threshold
-
-        def eval_c(t, carry, refresh_s):
+        def eval_c(t, carry, pull_s):
+            """Mixed raw/pulled field eval. pull_s [1,T] bool: lanes to
+            evaluate PULLED BACK (deformed field); the rest evaluate the
+            rest field at the raw ray point. None = all initially-alive
+            lanes (entry eval, bracket refinement). The carry holds each
+            lane's last rest-point estimate stamped with ITS OWN t, so
+            the warm-start advance `t - tpt` is exact — raw lanes carry
+            the raw ray point itself (the advance reproduces it
+            exactly), which also fixes the r4 double-advance staleness
+            bug (ADVICE r4 #1: the old carry advanced points without
+            updating their timestamp)."""
             px = ro[0] + t * rd[0]
             py = ro[1] + t * rd[1]
             pz = ro[2] + t * rd[2]
-            xx, yy, zz, tc = carry
             if DEBUG_PULLBACK_ABLATE == 2:
                 return field_rest(px, py, pz), carry
-            # Advance the carried rest points along the ray (exact up to
-            # the change of u since the last refresh — covered by the
-            # drift term in the march slack).
-            adv = t - tc
+            xx, yy, zz, tpt, _pulled = carry[:5]
+            adv = t - tpt
             xa = xx + adv * rd[0]
             ya = yy + adv * rd[1]
             za = zz + adv * rd[2]
-
-            def refresh(_):
-                x2, y2, z2 = xa, ya, za
-                for _ in range(fp_iters):
-                    x2, y2, z2 = pull_one(x2, y2, z2, px, py, pz)
-                return (x2, y2, z2, t)
-
-            if refresh_s is None:
-                car2 = refresh(0)
+            if pull_s is None:
+                # Entry eval / bracket refinement without step_ctrl
+                # info: pull every initially-alive lane, conservative
+                # region u bound.
+                mask = alive0 > 0.0
+                u_next = u_max_t
+            elif isinstance(pull_s, tuple):
+                mask, u_next = pull_s
             else:
-                # The pull-back (the march's dominant cost — every live
-                # center block on [CB, T] rows) runs only when the
-                # refresh policy fires; in between, evals ride the
-                # advanced stale estimate.
-                car2 = jax.lax.cond(
-                    refresh_s, refresh, lambda _: (xa, ya, za, tc), 0
-                )
+                mask = pull_s
+                u_next = u_max_t
+
+            def do_pull(_):
+                x2, y2, z2 = xa, ya, za
+                nlive = jnp.zeros(())
+                for _ in range(fp_iters):
+                    x2, y2, z2, nlive = pull_one(
+                        x2, y2, z2, px, py, pz, mask
+                    )
+                out = (jnp.where(mask, x2, px),
+                       jnp.where(mask, y2, py),
+                       jnp.where(mask, z2, pz),
+                       t, mask.astype(jnp.float32), u_next)
+                if DEBUG_PULL_STATS:
+                    out = out + (
+                        carry[6] + mask.astype(jnp.float32),
+                        carry[7] + nlive,
+                    )
+                return out
+
+            def no_pull(_):
+                out = (px, py, pz, t, jnp.zeros_like(px), u_next)
+                if DEBUG_PULL_STATS:
+                    out = out + (carry[6], carry[7])
+                return out
+
+            # Whole-tile skip: far-field tiles never pay the pull-back.
+            car2 = jax.lax.cond(jnp.any(mask), do_pull, no_pull, 0)
             return field_rest(car2[0], car2[1], car2[2]), car2
 
-        def refresh_fn(f, alive, it):
-            # Periodic in the far field; EVERY eval once any live lane is
-            # near the surface (stale pull-backs there shift the crossing
-            # bracket by the drift — measured 0.08 median t error).
-            near = jnp.max(jnp.where(alive > 0.0, f, -1e30)) > NEAR_F
-            return (jnp.bitwise_and(it, K_REFRESH - 1) == 0) | near
+        md_s = bnd[0, 2 * n_cb]  # frame max-|u| bound (scalar)
 
-        def drift_fn(carry, t):
-            # |x_used - x_true| <= L * |y(t) - y(t_ref)|: lane-wise bound
-            # on the pull-back staleness, doubled into the subtractive
-            # step slack like max|u| is.
-            return 2.0 * l_drift * jnp.abs(t - carry[3])
+        def step_ctrl(d, carry, alive):
+            """Per-lane safe deformed step + next-eval pull mask, with
+            a DYNAMIC per-step displacement bound from the compact
+            support: u is exactly zero beyond sigma of every center
+            (the wendland interpolant carries NO affine tail —
+            render.deformed._factor_interp), so the step's u bound is
+            the max of the per-block sampled maxima over only the
+            center blocks whose support box touches the step region
+            (hull of the current eval points, inflated by the largest
+            possible step + eval offset + global |u|). Tiles and march
+            segments away from the deformation march at FULL REST SPEED
+            with zero slack and zero pull-backs — certified, because
+            u = 0 identically there means F = f exactly.
+
+            d is the rest-support distance bound AT THE LAST EVAL POINT
+            (raw ray point for raw lanes; pulled-back rest point for
+            pulled lanes, which sits within u_prev of the ray point, so
+            rr = d - u_prev*pulled lower-bounds the rest distance from
+            the RAY point). Every deformed-surface point z = x + u(x)
+            lies within u_dyn of a rest-surface point x in the region,
+            so the deformed surface is >= rr - u_dyn away; pulled lanes
+            may also use the deformed-space contraction (1 - L) d with
+            the region Lipschitz bound. Raw (pull-free) evals stay
+            sound while every point of the step keeps rest-distance
+            > u_dyn (then F < iso throughout — no crossing missed, no
+            spurious crossing): rr - dt > u_dyn is EXACTLY that
+            invariant at the next eval point (and dominates every
+            intermediate point), so the switch needs only an epsilon
+            margin — an additive base_step-scale margin would exceed
+            the 5% step residual (the Wyvill bound saturates ~0.55/
+            stretch at f = 0) and make every eval pull (measured 62 ms
+            vs 53 ms per 1080p frame)."""
+            xx, yy, zz = carry[0], carry[1], carry[2]
+            pulled = carry[4]
+            u_prev = carry[5]
+            am = alive > 0.0
+            max_d = jnp.max(jnp.where(am, d, 0.0))
+            # Region: every point the step visits (<= max_d along rays
+            # from within u_prev of the carried points), plus the rest-
+            # surface points within reach (another global max|u|).
+            infl = max_d + u_prev + md_s + 1e-4
+            hx_lo = jnp.min(jnp.where(am, xx, 1e30)) - infl
+            hx_hi = jnp.max(jnp.where(am, xx, -1e30)) + infl
+            hy_lo = jnp.min(jnp.where(am, yy, 1e30)) - infl
+            hy_hi = jnp.max(jnp.where(am, yy, -1e30)) + infl
+            hz_lo = jnp.min(jnp.where(am, zz, 1e30)) - infl
+            hz_hi = jnp.max(jnp.where(am, zz, -1e30)) + infl
+            ud = jnp.zeros(())
+            ld = jnp.zeros(())
+            for b in range(n_cb):
+                lv = (
+                    (clive[0, 0, b] > 0)
+                    & (hx_lo <= cboxes[b, 3]) & (hx_hi >= cboxes[b, 0])
+                    & (hy_lo <= cboxes[b, 4]) & (hy_hi >= cboxes[b, 1])
+                    & (hz_lo <= cboxes[b, 5]) & (hz_hi >= cboxes[b, 2])
+                )
+                ud = jnp.maximum(ud, jnp.where(lv, bnd[0, b], 0.0))
+                ld = jnp.maximum(
+                    ld, jnp.where(lv, bnd[0, n_cb + b], 0.0)
+                )
+            shrink_d = jnp.clip(1.0 - ld, 0.0, 1.0)
+            rr = d - u_prev * pulled
+            d_safe = jnp.maximum(rr - ud, shrink_d * d * pulled)
+            dt = jnp.maximum(base_step, 0.95 * d_safe)
+            pull_next = (rr - dt <= ud * 1.001) & am
+            return d_safe, (pull_next, ud)
 
         carry0 = (
             ro[0] + t_enter * rd[0],
             ro[1] + t_enter * rd[1],
             ro[2] + t_enter * rd[2],
             t_enter,
+            jnp.ones_like(t_enter),
+            u_max_t,
         )
+        if DEBUG_PULL_STATS:
+            carry0 = carry0 + (
+                jnp.zeros_like(t_enter), jnp.zeros_like(t_enter)
+            )
     elif fp_iters:
         def eval_f(t):
             px = ro[0] + t * rd[0]
@@ -610,8 +720,13 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
         eval_f, params, adaptive, inv_stretch, base_step,
         ro, rd, t_enter, t_exit, alive0, tile_cond,
         shrink=shrink_s, slack=slack_s, eval_c=eval_c, carry0=carry0,
-        drift_fn=drift_fn, refresh_fn=refresh_fn,
+        step_ctrl=step_ctrl,
     )
+    if DEBUG_PULL_STATS and step_ctrl is not None:
+        # Raw counters (t_root/found carry cnt_pull/cnt_blocks here).
+        t_out[0] = t_root
+        hit_out[0] = found
+        return
     t_out[0] = jnp.where(found > 0.0, t_root, t_exit)
     hit_out[0] = found
 
@@ -852,7 +967,6 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                 any_alive, jnp.clip(1.0 - l_tile, 0.0, 1.0), 1.0
             )
             slack_t = jnp.where(any_alive, 2.0 * u_max, 0.0)
-            ldrift_t = jnp.where(any_alive, l_tile, 0.0)
         else:
             shrink_t = jnp.broadcast_to(
                 jnp.asarray(shrink, jnp.float32), tile_inv.shape
@@ -860,13 +974,13 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             slack_t = jnp.broadcast_to(
                 jnp.asarray(slack, jnp.float32), tile_inv.shape
             )
-            ldrift_t = jnp.zeros_like(tile_inv)
-        # Pack (raw inv stretch, shrink, slack, drift L) per tile — the
-        # deformed march takes max(shrink*d, d - slack - drift) of the
-        # sound step bounds (see _march_tile;
+        # Pack (raw inv stretch, shrink, slack, spare) per tile — the
+        # deformed march takes max(shrink*d, d - slack) of the sound
+        # step bounds (see _march_tile / step_ctrl;
         # render.deformed.trace_deformed_rbf).
         tile_inv_stretch = jnp.stack(
-            [tile_inv, shrink_t, slack_t, ldrift_t], axis=-1
+            [tile_inv, shrink_t, slack_t, jnp.zeros_like(tile_inv)],
+            axis=-1,
         )[:, None, :]                                  # [tiles, 1, 4]
         boxes = jnp.concatenate([blk_lo, blk_hi], -1)  # [nb, 6]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -892,8 +1006,21 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             clive_spec = pl.BlockSpec(
                 (1, 1, n_cb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             )
-            disp_args = [disp.centers, disp.w, disp.waff, cboxes, clive_k]
-            disp_specs = [vmem, vmem, vmem, smem_full, clive_spec]
+            # Per-block march-bound row for the kernel's DYNAMIC step
+            # bounds (step_ctrl): [1, 2*n_cb + 2] = safety-factored
+            # per-block max|u| and max|grad u| (sampled at the centers,
+            # or certified weight sums when disp was built certified),
+            # then the frame max-|u| bound.
+            bnd_row = jnp.concatenate([
+                1.15 * disp.bu,
+                1.25 * disp.bg,
+                jnp.reshape(max_disp, (1,)).astype(jnp.float32),
+                jnp.zeros((1,), jnp.float32),
+            ])[None, :]
+            disp_args = [disp.centers, disp.w, disp.waff, cboxes,
+                         clive_k, bnd_row]
+            disp_specs = [vmem, vmem, vmem, smem_full, clive_spec,
+                          smem_full]
             wparams = (float(disp.sigma), n_cb)
         elif disp is not None:
             m = centers.shape[0]
@@ -916,7 +1043,9 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             interpret=interpret,
         )(*disp_args, live, boxes, tile_inv_stretch, *prim_args, *ray_args)
         t = t_tiles.reshape(-1)[:n]
-        hit = hit_tiles.reshape(-1)[:n] > 0.5
+        hit = hit_tiles.reshape(-1)[:n]
+        if not (DEBUG_PULL_STATS and is_wendland):
+            hit = hit > 0.5
         return t, hit
 
     scene_args = [getattr(scene, f) for f in _SCENE_FIELDS]

@@ -92,7 +92,62 @@ def test_haptic_probe_scenario_end_to_end():
     # Fixed bottom never moves.
     assert np.abs(q[fixed]).max() < 1e-12
     # Displacement golden band: the scripted scenario is deterministic;
-    # peak |q| was 1.109e-3 when recorded (probe 5000 N/m, 12 x 0.05 drag,
-    # E = 1e7). Band guards regressions in the whole interaction stack.
+    # peak |q| was 1.380e-2 when recorded (probe 5000 N/m, 12 x 0.05 drag,
+    # E = 1e7, reference penetration-depth force model — r5 probe parity:
+    # force = coeff * max(dot(s_face - v, n_face), 0) along the contact
+    # face normal, AvatarProbe.cpp:239-253; the old delta-spring model
+    # peaked at 1.109e-3). Band guards the whole interaction stack.
     peak = float(np.abs(q).max())
-    assert 5e-4 < peak < 5e-3, peak
+    assert 5e-3 < peak < 5e-2, peak
+
+
+def test_probe_force_direction_from_contact_geometry():
+    """VERDICT r4 #7: with a DIAGONAL move delta, forces must point
+    along the contact-face normal (reference AvatarProbe.cpp:239-253),
+    not along the delta — the old model tiled coeff*delta. Synthetic
+    wall of nodes at x = 0 so the contact geometry is unambiguous."""
+    yy, zz = np.meshgrid(np.linspace(-1, 1, 9), np.linspace(-1, 1, 9))
+    nodes = np.stack(
+        [np.zeros(yy.size), yy.ravel(), zz.ravel()], 1
+    )
+    probe = AvatarProbe(half_extents=np.array([0.3, 0.3, 0.3]),
+                        force_coeff=1000.0,
+                        pos=np.array([0.7, 0.0, 0.0]))
+    idx = np.zeros(0)
+    forces = np.zeros((0, 3))
+    for _ in range(8):
+        # Diagonal drag: -x into the wall plus a -y slide.
+        target = probe.pos + np.array([-0.08, -0.02, 0.0])
+        idx, forces = probe.move_to(target, nodes)
+        if len(idx):
+            break
+    assert len(idx) > 0, "probe never contacted the wall"
+    assert probe.contact_face == 0, probe.contact_face
+    # First touch can have ~zero penetration; push deeper so the face
+    # plane passes the wall nodes.
+    f0 = np.abs(forces[:, 0]).max()
+    _, forces = probe.move_to(probe.pos + np.array([-0.08, -0.02, 0]),
+                              nodes)
+    # Contact through the box's LEFT (-x) face: forces along (-1, 0, 0)
+    # with per-vertex penetration magnitudes — zero y/z components even
+    # though the move delta has a y component.
+    assert probe.contact_face == 0
+    assert np.all(forces[:, 0] <= 0.0)
+    assert np.abs(forces[:, 1:]).max() == 0.0
+    assert np.abs(forces[:, 0]).max() > max(f0, 0.0)
+    # Releasing the grip clears the sticky face and the vertex hash.
+    probe.clear_contact()
+    assert probe.contact_face == -1 and not probe._contacts
+
+
+def test_probe_pick_mode_matches_reference():
+    """Pick mode: coeff_pick * delta on the single picked node
+    (AvatarProbe.cpp:133-143, force x10000)."""
+    probe = AvatarProbe(pos=np.zeros(3))
+    probe.pick_mode = True
+    probe.picked_node = 7
+    idx, forces = probe.move_to(np.array([0.01, -0.02, 0.0]),
+                                np.zeros((10, 3)))
+    assert list(idx) == [7]
+    np.testing.assert_allclose(forces[0], [100.0, -200.0, 0.0],
+                               rtol=1e-12)
