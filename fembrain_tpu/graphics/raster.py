@@ -55,10 +55,15 @@ def rasterize(
     wireframe: bool = False,
     point_size: int = 2,
     material=None,
+    texture=None,
+    texture_scale: float = 1.0,
 ) -> np.ndarray:
     """Render draw batches -> [H, W, 3] float image in [0, 1].
     `material` picks named shading parameters (graphics.materials) —
-    the same registry the tracer consumes."""
+    the same registry the tracer consumes. `texture` (a
+    graphics.materials.Texture) modulates the albedo by world-space
+    triplanar sampling at `texture_scale` tiles per world unit
+    (TexManager parity — implicit surfaces carry no UV atlas)."""
     if material is None:
         from .materials import PHONG as material
     img = np.ones((height, width, 3)) * np.asarray(background)
@@ -75,7 +80,8 @@ def rasterize(
                 continue
         if batch.faces is not None and not wireframe:
             _draw_triangles(img, zbuf, batch, xy, z, col, ldir,
-                            width, height, material)
+                            width, height, material,
+                            texture, texture_scale)
     return np.clip(img, 0.0, 1.0)
 
 
@@ -96,7 +102,7 @@ def _draw_points(img, zbuf, xy, z, col, size):
 
 
 def _draw_triangles(img, zbuf, batch, xy, z, col, ldir, width, height,
-                    material):
+                    material, texture=None, texture_scale=1.0):
     verts = batch.verts
     for f in batch.faces:
         a, b, c = xy[f[0]], xy[f[1]], xy[f[2]]
@@ -140,4 +146,20 @@ def _draw_triangles(img, zbuf, batch, xy, z, col, ldir, width, height,
         tile_z = zbuf[y0:y1, x0:x1]
         upd = inside & (depth < tile_z) & (depth > 0)
         tile_z[upd] = depth[upd]
-        img[y0:y1, x0:x1][upd] = col * shade
+        if texture is not None:
+            from .materials import triplanar_sample
+
+            # Per-pixel world position by barycentric interpolation,
+            # triplanar-sampled with the face normal as projector.
+            wpos = (
+                l0[..., None] * verts[f[0]]
+                + l1[..., None] * verts[f[1]]
+                + l2[..., None] * verts[f[2]]
+            )
+            alb = triplanar_sample(
+                texture, wpos[upd], np.broadcast_to(n / nl, (upd.sum(), 3)),
+                texture_scale,
+            )
+            img[y0:y1, x0:x1][upd] = col * alb * shade
+        else:
+            img[y0:y1, x0:x1][upd] = col * shade

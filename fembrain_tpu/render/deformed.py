@@ -195,11 +195,15 @@ def shade_deformed(scene: Scene, grid: GridSpec, u_grid: jax.Array,
                    ro, rd, t_hit, hit_mask,
                    light_dir=(0.577, 0.577, 0.577),
                    background=(1.0, 1.0, 1.0),
-                   material=None):
+                   material=None, texture=None,
+                   texture_scale: float = 1.0):
     """Blinn-Phong shading of the deformed surface: normals from the
     deformed field's autodiff gradient (exact normals of the warped
     surface), material color sampled at the pulled-back rest point.
-    `material` selects shading parameters (graphics.materials)."""
+    `material` selects shading parameters (graphics.materials);
+    `texture` ([H, W, 3] jnp image) modulates the albedo by triplanar
+    sampling at the REST point, so the pattern sticks to the deforming
+    tissue."""
     if material is None:
         from ..graphics.materials import PHONG as material
     x = ro + t_hit[:, None] * rd
@@ -213,6 +217,12 @@ def shade_deformed(scene: Scene, grid: GridSpec, u_grid: jax.Array,
     )
     x_rest = pull_back(grid, u_grid, x)
     _, col = field_and_color(scene, x_rest)
+    if texture is not None:
+        from ..graphics.materials import triplanar_sample_jax
+
+        col = col.at[:, :3].mul(
+            triplanar_sample_jax(texture, x_rest, n, texture_scale)
+        )
     ldir = jnp.asarray(light_dir)
     ldir = ldir / jnp.linalg.norm(ldir)
     ndotl = jnp.maximum(jnp.sum(n * ldir, -1), 0.0)

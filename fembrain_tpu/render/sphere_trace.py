@@ -245,17 +245,25 @@ def trace(scene: Scene, ro: jax.Array, rd: jax.Array,
 
 def shade(scene: Scene, ro, rd, t_hit, hit_mask,
           light_dir=(0.577, 0.577, 0.577), background=(1.0, 1.0, 1.0),
-          material=None):
+          material=None, texture=None, texture_scale: float = 1.0):
     """Lambert + Blinn-Phong shading with field-weighted material colors
     (reference phong shaders, data/shaders/phong.{vsh,fsh}). `material`
     selects named shading parameters from graphics.materials (the
-    ShaderManager analog); default is the phong preset."""
+    ShaderManager analog); default is the phong preset. `texture` (a
+    [H, W, 3] jnp image) modulates the albedo by world-space triplanar
+    sampling — TexManager parity inside the jitted graph."""
     if material is None:
         from ..graphics.materials import PHONG as material
     x = ro + t_hit[:, None] * rd
     g = gradient(scene, x)
     n = -g * jax.lax.rsqrt(jnp.maximum(jnp.sum(g * g, -1, keepdims=True), 1e-24))
     _, col = field_and_color(scene, x)
+    if texture is not None:
+        from ..graphics.materials import triplanar_sample_jax
+
+        col = col.at[:, :3].mul(
+            triplanar_sample_jax(texture, x, n, texture_scale)
+        )
     ldir = jnp.asarray(light_dir)
     ldir = ldir / jnp.linalg.norm(ldir)
     ndotl = jnp.maximum(jnp.sum(n * ldir, -1), 0.0)

@@ -72,3 +72,100 @@ def test_materials_change_raster_shading():
     drawn = (img_p != 1.0).any(-1)
     assert drawn.any()
     assert not np.allclose(img_p[drawn], img_f[drawn])
+
+
+def test_texture_load_sample_and_triplanar_parity(tmp_path):
+    """Texture pipeline (VERDICT r4 #8, TexManager/lodepng parity):
+    PNG load, bilinear sampling, numpy/JAX triplanar agreement."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fembrain_tpu.graphics.materials import (
+        MaterialRegistry, Texture, triplanar_sample, triplanar_sample_jax,
+    )
+
+    # Checkerboard PNG.
+    tile = np.kron(
+        (np.indices((8, 8)).sum(0) % 2).astype(np.uint8) * 255,
+        np.ones((4, 4), np.uint8),
+    )
+    img = np.stack([tile, tile, np.full_like(tile, 128)], -1)
+    path = tmp_path / "checker.png"
+    Image.fromarray(img).save(path)
+
+    tex = Texture.load(path)
+    assert tex.image.shape == (32, 32, 3)
+    # Exact texel hit at a black square center and a white one.
+    dark = tex.sample(0.5 / 8 + 0.0, 0.5 / 8)
+    lite = tex.sample(1.5 / 8, 0.5 / 8)
+    assert dark[0] < 0.3 < lite[0]
+
+    # Registry folder loading.
+    reg = MaterialRegistry()
+    assert reg.add_textures_from_folder(tmp_path) == 1
+    assert reg.texture_names() == ["checker"]
+
+    # Triplanar: numpy and JAX paths agree.
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+    nrm = rng.normal(size=(64, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    a = triplanar_sample(tex, pts, nrm, 0.7)
+    b = np.asarray(triplanar_sample_jax(
+        jnp.asarray(tex.image), jnp.asarray(pts), jnp.asarray(nrm), 0.7
+    ))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_textured_render_varies_spatially(tmp_path):
+    """A textured rasterize and a textured traced shade both show the
+    texture's spatial variation on a surface of constant base color."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fembrain_tpu.blob.reader import load_blob
+    from fembrain_tpu.graphics.materials import Texture
+    from fembrain_tpu.graphics.raster import rasterize
+    from fembrain_tpu.graphics.scenegraph import DrawBatch
+    from fembrain_tpu.render.sphere_trace import trace
+
+    tile = np.kron(
+        (np.indices((8, 8)).sum(0) % 2).astype(np.uint8) * 255,
+        np.ones((4, 4), np.uint8),
+    )
+    img = np.stack([tile] * 3, -1)
+    path = tmp_path / "check.png"
+    Image.fromarray(img).save(path)
+    tex = Texture.load(path)
+
+    verts = np.asarray(
+        [[-1, -1, 0], [1, -1, 0], [-1, 1, 0], [1, 1, 0]], np.float64
+    )
+    faces = np.asarray([[0, 1, 2], [1, 3, 2]], np.int32)
+    batch = DrawBatch(
+        name="quad", verts=verts, faces=faces, color=(0.2, 0.5, 0.8, 1.0)
+    )
+    cam = Camera.orbit(25.0, 20.0, 3.0)
+    plain = rasterize([batch], cam, 64, 48, material=FLAT)
+    texd = rasterize([batch], cam, 64, 48, material=FLAT,
+                     texture=tex, texture_scale=1.0)
+    drawn = (plain != 1.0).any(-1)
+    assert drawn.any()
+    # Flat shading on one quad: constant without texture, varying with.
+    assert np.ptp(plain[drawn], axis=0).max() < 1e-6
+    assert np.ptp(texd[drawn], axis=0).max() > 0.3
+
+    # Traced path: textured sphere shade varies more than untextured.
+    scene = load_blob(
+        "/root/reference/data/models/blobtree/sphere.blob"
+    ).pack()
+    ro, rd = generate_rays(cam, 48, 36)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    t, hit = trace(scene, ro, rd, TraceParams())
+    h = np.asarray(hit)
+    assert h.any()
+    base = np.asarray(shade(scene, ro, rd, t, hit, material=FLAT))
+    txd = np.asarray(shade(scene, ro, rd, t, hit, material=FLAT,
+                           texture=jnp.asarray(tex.image),
+                           texture_scale=2.0))
+    assert np.ptp(txd[h], 0).max() > np.ptp(base[h], 0).max() + 0.2
