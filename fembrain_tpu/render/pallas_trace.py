@@ -44,6 +44,9 @@ DEBUG_PULL_STATS = False   # t_out = per-lane pulled-eval count,
                            # hit_out = tile pull evals (lane 0 carries
                            # the tile's total live-center-block evals)
 PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
+K_REFRESH = 8   # deformed-march evals between pull-back refreshes (the
+                # per-lane linear rest-point model rides in between;
+                # staleness is certified into the step slack)
 CEN_BLOCK = 32  # RBF centers per cull block (wendland deformed trace):
                 # big enough that each un-culled block is one meaty
                 # [CB, T] vector computation (few conds, good pipeline
@@ -109,19 +112,19 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
     global Lipschitz constant would throttle exactly the biggest steps.
 
     eval_c/carry0: stateful evaluation for the deformed pull-back —
-    eval_c(t, carry, mask) -> (f, carry') where `mask` is a per-lane bool
-    row selecting which lanes evaluate the PULLED-BACK (deformed) field;
-    unmasked lanes evaluate the rest field at the raw ray point (sound
-    while their rest-distance bound exceeds the displacement bound —
-    see _trace_kernel_additive step_ctrl). mask=None means "all
-    initially-alive lanes" (entry eval and bracket refinement).
-    step_ctrl(d, carry, alive) -> (d_safe, mask_next) converts the
-    rest-support distance d into the per-lane safe deformed step and the
-    pull mask for the NEXT eval."""
+    eval_c(t, carry, refresh, pmask) -> (f, carry'). `refresh` controls
+    the pull-back: None = force a full refresh (entry eval, first
+    bracket-refinement eval), a traced scalar bool = refresh iff set
+    (the periodic march policy), Python False = never (ride the carried
+    linear model). `pmask` optionally narrows the pull-back hull (the
+    refinement passes the found lanes). step_ctrl(d, carry, alive, t,
+    it) -> (d_safe, refresh) converts the rest-support distance d into
+    the per-lane safe deformed step and the tile-wide refresh flag for
+    the NEXT eval."""
     iso = params.iso
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
     if eval_c is None:
-        def eval_c(t, carry, mask=None):  # noqa: ARG001 — stateless
+        def eval_c(t, carry, refresh=None, pmask=None):  # noqa: ARG001
             return eval_f(t), carry
         carry0 = ()
 
@@ -150,7 +153,7 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 r = support_radius_bound(f + iso)
                 d = (r - r_iso) * inv_stretch
                 if step_ctrl is not None:
-                    d, ref = step_ctrl(d, car, alive)
+                    d, ref = step_ctrl(d, car, alive, t, it)
                 elif shrink is not None:
                     d = jnp.maximum(shrink * d, d - slack)
                 dt = jnp.maximum(base_step, 0.95 * d)
@@ -184,8 +187,8 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
             cond, body, state
         )
         if DEBUG_PULL_STATS and step_ctrl is not None:
-            # Wendland carry layout: (..., cnt_pull, cnt_blocks).
-            return car[6], car[7]
+            # Wendland carry layout: (..., cnt_refresh, cnt_blocks).
+            return car[7], car[8]
         if DEBUG_MARCH_ITERS:
             # Root output carries the while-iteration count instead
             # (the hit path bool-thresholds, t passes through raw).
@@ -197,27 +200,29 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
         # Bracket field values ride along from the march state: the
         # closing secant costs no extra field evaluations (mirrors
         # sphere_trace.trace exactly to keep step/root parity).
-        # Refinement evals pull back only the FOUND lanes (non-crossed
-        # lanes' brackets are dead values), so the pull-back hull stays
-        # tight around the actual surface points.
-        bis_mask = None if step_ctrl is None else (found > 0.0)
-
-        def bis_body(_, st):
-            a, b, fa, fb, car = st
+        # Refinement: ONE full pull-back refresh on the first eval
+        # (hull narrowed to the FOUND lanes — non-crossed lanes'
+        # brackets are dead values), then the remaining halvings ride
+        # the refreshed linear model: the bracket is at most one march
+        # step wide, so the model error there is O(L * step^2) — far
+        # below the bisection tolerance — and the refinement costs one
+        # pull instead of bisect_steps pulls.
+        bis_pm = None if step_ctrl is None else (found > 0.0)
+        st = (t_prev, t, f_prev, f, car)
+        for i in range(params.bisect_steps):
+            a, b, fa, fb, car_b = st
             m = 0.5 * (a + b)
-            fm, car = eval_c(m, car, bis_mask)
+            fm, car_b = eval_c(m, car_b, None if i == 0 else False,
+                               bis_pm)
             neg = fm < 0.0
-            return (
+            st = (
                 jnp.where(neg, m, a),
                 jnp.where(neg, b, m),
                 jnp.where(neg, fm, fa),
                 jnp.where(neg, fb, fm),
-                car,
+                car_b,
             )
-
-        a, b, fa, fb, _ = jax.lax.fori_loop(
-            0, params.bisect_steps, bis_body, (t_prev, t, f_prev, f, car)
-        )
+        a, b, fa, fb, _ = st
         denom = fb - fa
         # Degenerate secant (fa == fb in f32 on a tight bracket) falls
         # back to the midpoint — see sphere_trace.trace.
@@ -341,7 +346,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     against the carried rest-point hull, warm-started across march steps
     (one fixed-point iteration per eval — see _march_tile eval_c)."""
     if fp_iters and wparams is not None:
-        (cen, wr, waff, cboxes, clive, bnd, *args) = args
+        (cen, wr, waff, cboxes, clive, *args) = args
     elif fp_iters:
         (cen, wr, waff, *args) = args
     (live, boxes, stretch, mx, my, mz, ptype, pos, dirv, res, blo, bhi,
@@ -369,8 +374,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
     inv_stretch = stretch[0, 0, 0]
     shrink_s = stretch[0, 0, 1]
     slack_s = stretch[0, 0, 2]
-    # stretch[0, 0, 3] is a spare slot (was the r4 drift Lipschitz bound;
-    # the raw/pulled march needs no staleness slack).
+    ldrift_s = stretch[0, 0, 3]  # tile Lipschitz bound for model drift
     present = scene.prim_types_present
     B = PRIM_BLOCK
 
@@ -471,18 +475,23 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
 
     eval_f = eval_c = carry0 = step_ctrl = None
     if fp_iters and wparams is not None:
-        # PRODUCTION deformed path: wendland pull-back with per-eval
-        # center-block culling. Far-from-surface lanes evaluate the REST
-        # field at the raw ray point (zero pull-back cost — sound while
-        # their rest-distance bound exceeds the tile's max|u|, see
-        # step_ctrl below); near-surface lanes pull back on EVERY eval
-        # (one warm-started fixed-point iteration x <- p - u(x), so
-        # there is no staleness to cover with drift slack). u's compact
-        # support makes the per-block skip EXACT (phi = 0 beyond sigma).
+        # PRODUCTION deformed path: wendland pull-back ridden on a
+        # PER-LANE LINEAR MODEL of the rest point. Every K_REFRESH
+        # evals (plus the entry and the first refinement eval) the tile
+        # pulls back for real — warm-started fixed-point iterations
+        # with per-eval center-block culling (u's compact support makes
+        # the block skip EXACT: phi = 0 beyond sigma, and the tail-free
+        # interpolant has NO global affine part) — and re-fits the
+        # model slope from the refresh-to-refresh secant; in between,
+        # evals ride x_est(t) = x_r + (t - t_r) * v. The march slack
+        # subtracts the certified staleness 2L|t - t_r| BEFORE both
+        # step bounds (see step_ctrl), which is the same Lipschitz
+        # argument as the r4 scheme — but the linear model's ACTUAL
+        # error is O(curvature * dt^2), so K_REFRESH can be ~8 where r4
+        # needed every-eval refreshes near the surface.
         sigma, n_cb = wparams
         inv_sig = 1.0 / sigma
         CB = CEN_BLOCK
-        u_max_t = 0.5 * slack_s  # tile bound on max|u| (slack = 2 max|u|)
 
         def pull_one(xx, yy, zz, px, py, pz, pmask):
             # Affine tail (always on — it has global support).
@@ -559,143 +568,96 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
             ux, uy, uz = uu
             return px - ux, py - uy, pz - uz, nlive
 
-        def eval_c(t, carry, pull_s):
-            """Mixed raw/pulled field eval. pull_s [1,T] bool: lanes to
-            evaluate PULLED BACK (deformed field); the rest evaluate the
-            rest field at the raw ray point. None = all initially-alive
-            lanes (entry eval, bracket refinement). The carry holds each
-            lane's last rest-point estimate stamped with ITS OWN t, so
-            the warm-start advance `t - tpt` is exact — raw lanes carry
-            the raw ray point itself (the advance reproduces it
-            exactly), which also fixes the r4 double-advance staleness
-            bug (ADVICE r4 #1: the old carry advanced points without
-            updating their timestamp)."""
+        def eval_c(t, carry, refresh_s, pmask=None):
+            """Linear-model field eval. carry = (xr, yr, zr, vx, vy,
+            vz, tr): each lane's rest point at its last refresh tr and
+            the refresh-to-refresh slope v; between refreshes the rest
+            point is estimated as x_est(t) = xr + (t - tr) v (v = rd
+            exactly when u is locally constant). The base (xr, tr) is
+            NEVER advanced outside a refresh, so the r4 double-advance
+            staleness bug (ADVICE r4 #1) cannot recur. refresh_s: None
+            = force refresh, Python False = never, else traced scalar
+            bool. pmask narrows the pull-back cull hull (refinement
+            passes the found lanes)."""
             px = ro[0] + t * rd[0]
             py = ro[1] + t * rd[1]
             pz = ro[2] + t * rd[2]
             if DEBUG_PULLBACK_ABLATE == 2:
                 return field_rest(px, py, pz), carry
-            xx, yy, zz, tpt, _pulled = carry[:5]
-            adv = t - tpt
-            xa = xx + adv * rd[0]
-            ya = yy + adv * rd[1]
-            za = zz + adv * rd[2]
-            if pull_s is None:
-                # Entry eval / bracket refinement without step_ctrl
-                # info: pull every initially-alive lane, conservative
-                # region u bound.
-                mask = alive0 > 0.0
-                u_next = u_max_t
-            elif isinstance(pull_s, tuple):
-                mask, u_next = pull_s
-            else:
-                mask = pull_s
-                u_next = u_max_t
+            xr, yr, zr, vx, vy, vz, tr = carry[:7]
+            adv = t - tr
+            xa = xr + adv * vx
+            ya = yr + adv * vy
+            za = zr + adv * vz
+            if pmask is None:
+                pmask = alive0 > 0.0
 
-            def do_pull(_):
+            def refresh(_):
                 x2, y2, z2 = xa, ya, za
                 nlive = jnp.zeros(())
                 for _ in range(fp_iters):
                     x2, y2, z2, nlive = pull_one(
-                        x2, y2, z2, px, py, pz, mask
+                        x2, y2, z2, px, py, pz, pmask
                     )
-                out = (jnp.where(mask, x2, px),
-                       jnp.where(mask, y2, py),
-                       jnp.where(mask, z2, pz),
-                       t, mask.astype(jnp.float32), u_next)
+                # Refit the slope from the refresh-to-refresh secant
+                # (bounded by L, like du/dt itself — the drift slack in
+                # step_ctrl covers both); keep the old slope when the
+                # interval is too short for a stable quotient.
+                big = adv > 1e-5
+                inv = 1.0 / jnp.where(big, adv, 1.0)
+                out = (x2, y2, z2,
+                       jnp.where(big, (x2 - xr) * inv, vx),
+                       jnp.where(big, (y2 - yr) * inv, vy),
+                       jnp.where(big, (z2 - zr) * inv, vz),
+                       t)
                 if DEBUG_PULL_STATS:
-                    out = out + (
-                        carry[6] + mask.astype(jnp.float32),
-                        carry[7] + nlive,
-                    )
+                    out = out + (carry[7] + 1.0, carry[8] + nlive)
                 return out
 
-            def no_pull(_):
-                out = (px, py, pz, t, jnp.zeros_like(px), u_next)
-                if DEBUG_PULL_STATS:
-                    out = out + (carry[6], carry[7])
-                return out
+            def stale(_):
+                return carry
 
-            # Whole-tile skip: far-field tiles never pay the pull-back.
-            car2 = jax.lax.cond(jnp.any(mask), do_pull, no_pull, 0)
-            return field_rest(car2[0], car2[1], car2[2]), car2
+            if refresh_s is None:
+                car2 = refresh(0)
+            elif refresh_s is False:
+                car2 = carry
+            else:
+                car2 = jax.lax.cond(refresh_s, refresh, stale, 0)
+            # Evaluate at the estimate advanced to t from the (possibly
+            # refreshed) base: refreshed lanes get the exact pull-back
+            # (adv = 0), stale lanes the linear model.
+            a2 = t - car2[6]
+            xe = car2[0] + a2 * car2[3]
+            ye = car2[1] + a2 * car2[4]
+            ze = car2[2] + a2 * car2[5]
+            return field_rest(xe, ye, ze), car2
 
-        md_s = bnd[0, 2 * n_cb]  # frame max-|u| bound (scalar)
+        def step_ctrl(d, carry, alive, t, it):
+            """Safe deformed step + periodic refresh flag.
 
-        def step_ctrl(d, carry, alive):
-            """Per-lane safe deformed step + next-eval pull mask, with
-            a DYNAMIC per-step displacement bound from the compact
-            support: u is exactly zero beyond sigma of every center
-            (the wendland interpolant carries NO affine tail —
-            render.deformed._factor_interp), so the step's u bound is
-            the max of the per-block sampled maxima over only the
-            center blocks whose support box touches the step region
-            (hull of the current eval points, inflated by the largest
-            possible step + eval offset + global |u|). Tiles and march
-            segments away from the deformation march at FULL REST SPEED
-            with zero slack and zero pull-backs — certified, because
-            u = 0 identically there means F = f exactly.
-
-            d is the rest-support distance bound AT THE LAST EVAL POINT
-            (raw ray point for raw lanes; pulled-back rest point for
-            pulled lanes, which sits within u_prev of the ray point, so
-            rr = d - u_prev*pulled lower-bounds the rest distance from
-            the RAY point). Every deformed-surface point z = x + u(x)
-            lies within u_dyn of a rest-surface point x in the region,
-            so the deformed surface is >= rr - u_dyn away; pulled lanes
-            may also use the deformed-space contraction (1 - L) d with
-            the region Lipschitz bound. Raw (pull-free) evals stay
-            sound while every point of the step keeps rest-distance
-            > u_dyn (then F < iso throughout — no crossing missed, no
-            spurious crossing): rr - dt > u_dyn is EXACTLY that
-            invariant at the next eval point (and dominates every
-            intermediate point), so the switch needs only an epsilon
-            margin — an additive base_step-scale margin would exceed
-            the 5% step residual (the Wyvill bound saturates ~0.55/
-            stretch at f = 0) and make every eval pull (measured 62 ms
-            vs 53 ms per 1080p frame)."""
-            xx, yy, zz = carry[0], carry[1], carry[2]
-            pulled = carry[4]
-            u_prev = carry[5]
-            am = alive > 0.0
-            max_d = jnp.max(jnp.where(am, d, 0.0))
-            # Region: every point the step visits (<= max_d along rays
-            # from within u_prev of the carried points), plus the rest-
-            # surface points within reach (another global max|u|).
-            infl = max_d + u_prev + md_s + 1e-4
-            hx_lo = jnp.min(jnp.where(am, xx, 1e30)) - infl
-            hx_hi = jnp.max(jnp.where(am, xx, -1e30)) + infl
-            hy_lo = jnp.min(jnp.where(am, yy, 1e30)) - infl
-            hy_hi = jnp.max(jnp.where(am, yy, -1e30)) + infl
-            hz_lo = jnp.min(jnp.where(am, zz, 1e30)) - infl
-            hz_hi = jnp.max(jnp.where(am, zz, -1e30)) + infl
-            ud = jnp.zeros(())
-            ld = jnp.zeros(())
-            for b in range(n_cb):
-                lv = (
-                    (clive[0, 0, b] > 0)
-                    & (hx_lo <= cboxes[b, 3]) & (hx_hi >= cboxes[b, 0])
-                    & (hy_lo <= cboxes[b, 4]) & (hy_hi >= cboxes[b, 1])
-                    & (hz_lo <= cboxes[b, 5]) & (hz_hi >= cboxes[b, 2])
-                )
-                ud = jnp.maximum(ud, jnp.where(lv, bnd[0, b], 0.0))
-                ld = jnp.maximum(
-                    ld, jnp.where(lv, bnd[0, n_cb + b], 0.0)
-                )
-            shrink_d = jnp.clip(1.0 - ld, 0.0, 1.0)
-            rr = d - u_prev * pulled
-            d_safe = jnp.maximum(rr - ud, shrink_d * d * pulled)
-            dt = jnp.maximum(base_step, 0.95 * d_safe)
-            pull_next = (rr - dt <= ud * 1.001) & am
-            return d_safe, (pull_next, ud)
+            d is the rest-support distance bound AT THE ESTIMATED rest
+            point, whose distance from the true pull-back is bounded by
+            the model staleness eps = 2 L |t - tr| (|u(t) - u(tr)| <=
+            L dt and the secant slope is itself L-bounded), so the true
+            pull-back's rest distance is >= d - eps and both deformed-
+            space bounds apply to d - eps: multiplicative (1 - L)(d -
+            eps) via the contraction, subtractive (d - eps) - 2 max|u|.
+            Applying eps BEFORE both bounds closes the r4 soundness gap
+            (ADVICE r4 #1: r4 added drift only to the subtractive
+            branch). Tiles with no live center block have slack = L = 0
+            (tail-free wendland) and march at exact rest speed."""
+            eps = 2.0 * ldrift_s * jnp.abs(t - carry[6])
+            de = d - eps
+            d_safe = jnp.maximum(shrink_s * de, de - slack_s)
+            ref = jnp.bitwise_and(it, K_REFRESH - 1) == 0
+            return d_safe, ref
 
         carry0 = (
             ro[0] + t_enter * rd[0],
             ro[1] + t_enter * rd[1],
             ro[2] + t_enter * rd[2],
+            rd[0], rd[1], rd[2],
             t_enter,
-            jnp.ones_like(t_enter),
-            u_max_t,
         )
         if DEBUG_PULL_STATS:
             carry0 = carry0 + (
@@ -967,6 +929,7 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
                 any_alive, jnp.clip(1.0 - l_tile, 0.0, 1.0), 1.0
             )
             slack_t = jnp.where(any_alive, 2.0 * u_max, 0.0)
+            ldrift_t = jnp.where(any_alive, l_tile, 0.0)
         else:
             shrink_t = jnp.broadcast_to(
                 jnp.asarray(shrink, jnp.float32), tile_inv.shape
@@ -974,13 +937,14 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             slack_t = jnp.broadcast_to(
                 jnp.asarray(slack, jnp.float32), tile_inv.shape
             )
-        # Pack (raw inv stretch, shrink, slack, spare) per tile — the
-        # deformed march takes max(shrink*d, d - slack) of the sound
-        # step bounds (see _march_tile / step_ctrl;
+            ldrift_t = jnp.zeros_like(tile_inv)
+        # Pack (raw inv stretch, shrink, slack, drift L) per tile — the
+        # deformed march subtracts the model staleness 2L|t - tr| from
+        # d, then takes max(shrink*d', d' - slack) of the sound step
+        # bounds (see _march_tile / step_ctrl;
         # render.deformed.trace_deformed_rbf).
         tile_inv_stretch = jnp.stack(
-            [tile_inv, shrink_t, slack_t, jnp.zeros_like(tile_inv)],
-            axis=-1,
+            [tile_inv, shrink_t, slack_t, ldrift_t], axis=-1
         )[:, None, :]                                  # [tiles, 1, 4]
         boxes = jnp.concatenate([blk_lo, blk_hi], -1)  # [nb, 6]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1006,21 +970,9 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             clive_spec = pl.BlockSpec(
                 (1, 1, n_cb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             )
-            # Per-block march-bound row for the kernel's DYNAMIC step
-            # bounds (step_ctrl): [1, 2*n_cb + 2] = safety-factored
-            # per-block max|u| and max|grad u| (sampled at the centers,
-            # or certified weight sums when disp was built certified),
-            # then the frame max-|u| bound.
-            bnd_row = jnp.concatenate([
-                1.15 * disp.bu,
-                1.25 * disp.bg,
-                jnp.reshape(max_disp, (1,)).astype(jnp.float32),
-                jnp.zeros((1,), jnp.float32),
-            ])[None, :]
             disp_args = [disp.centers, disp.w, disp.waff, cboxes,
-                         clive_k, bnd_row]
-            disp_specs = [vmem, vmem, vmem, smem_full, clive_spec,
-                          smem_full]
+                         clive_k]
+            disp_specs = [vmem, vmem, vmem, smem_full, clive_spec]
             wparams = (float(disp.sigma), n_cb)
         elif disp is not None:
             m = centers.shape[0]
