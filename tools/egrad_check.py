@@ -53,10 +53,22 @@ def main() -> None:
         coupled_step_grid_fast,
     )
 
-    sc = load_blob("/root/reference/data/models/blobtree/sphere.blob")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="sphere",
+                    help="sphere (r4 continuity) or ventricle (the "
+                         "flagship path, VERDICT r4 #4)")
+    ap.add_argument("--cellsize", type=float, default=None)
+    args = ap.parse_args()
+    cellsize = args.cellsize or (0.3 if args.scene == "sphere" else 0.35)
+
+    sc = load_blob(
+        f"/root/reference/data/models/blobtree/{args.scene}.blob"
+    )
     sc.flatten_instances()
     scene = sc.pack()
-    grid = grid_for_scene(scene, cellsize=0.3)
+    grid = grid_for_scene(scene, cellsize=cellsize)
     tm = extract_tet_mesh(
         scene, grid, ncap=grid.n_vertices, tetcap=grid.n_cells * 6
     )
@@ -71,7 +83,8 @@ def main() -> None:
     f_ext[n2g, 1] = -200.0 * np.asarray(gf.mass).reshape(-1)[n2g]
     f_ext = jnp.asarray(f_ext.reshape(*grid.dims, 3))
 
-    cam = Camera.orbit(30.0, 20.0, 5.0)
+    zoom = 5.0 if args.scene == "sphere" else 8.0
+    cam = Camera.orbit(30.0, 20.0, zoom)
     ro, rd = generate_rays(cam, 24, 18)
     ro = ro.reshape(-1, 3).astype(jnp.float64)
     rd = rd.reshape(-1, 3).astype(jnp.float64)
@@ -105,11 +118,13 @@ def main() -> None:
     flips = int(np.sum(h0 != hp) + np.sum(h0 != hm))
     rel = abs(g - fd) / max(1e-12, abs(fd))
     print(json.dumps({
+        "scene": args.scene,
         "rel_err": round(rel, 6),
         "autodiff": g,
         "fd": fd,
         "hit_flips": flips,
         "eps": eps,
+        "n_hit": int(h0.sum()),
     }))
 
 
