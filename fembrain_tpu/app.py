@@ -194,12 +194,14 @@ class SimulationApp:
         self.rbf = rbf
         return rbf
 
-    def render_frame(self, width=400, height=300):
+    def render_frame(self, width=400, height=300, hud=False):
         """Render the CURRENT (deformed) tissue: the sphere tracer sees
         the FEM displacement field, not just the rest-pose analytic scene
         (reference couples every frame via ApplyVertexDeformations,
         OclPolygonizer.cpp:1543-1596 — here the coupling is in field
-        space, render.deformed)."""
+        space, render.deformed). hud=True overlays the live per-frame
+        stats rows (the reference's SGHeaders HUD, src/main.cpp:877-887:
+        animation/mesh/solver lines refreshed every frame)."""
         q = self.deformable.state.q
         if float(jnp.max(jnp.abs(q))) > 1e-9:
             from .render.deformed import render_deformed
@@ -210,7 +212,31 @@ class SimulationApp:
             )
         else:
             img = render_image(self.scene, self.camera, width, height)
-        return np.clip(np.asarray(img), 0, 1)
+        img = np.clip(np.asarray(img), 0, 1)
+        if hud:
+            img = self._hud_overlay(img)
+        return img
+
+    def _hud_overlay(self, img):
+        """Stamp the SGHeaders-analog rows from the latest metrics
+        record into the frame."""
+        from .render.viewer import _put_text
+
+        rec = self.metrics.last
+        lines = [
+            f"{self.scene_def.name}  "
+            f"tets={self.fem.n_tets} nodes={self.fem.n_nodes} "
+            f"prims={self.scene.n_prims}",
+        ]
+        if rec is not None:
+            lines.append(
+                f"frame {self.frame}  {rec.fps:6.1f} fps  "
+                f"fem {rec.ms_anim_total_frame:6.2f} ms  "
+                f"cg {rec.cg_iters}"
+            )
+        q = np.asarray(self.deformable.state.q)
+        lines.append(f"max|q| {np.abs(q).max():.4f}")
+        return _put_text(img, chr(10).join(lines))
 
     def close(self):
         self.metrics.close()
@@ -225,6 +251,9 @@ def main(argv=None) -> int:
                     help="write a PNG every N frames (0 = never)")
     ap.add_argument("--out", default="/tmp/fembrain_frames")
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument("--hud", action="store_true",
+                    help="overlay live per-frame stats on rendered "
+                         "frames (SGHeaders analog)")
     ap.add_argument("--xprof", default=None, help="jax.profiler trace dir")
     ap.add_argument("--debug-nans", action="store_true",
                     help="fail fast on NaN in any jitted computation "
@@ -272,7 +301,7 @@ def main(argv=None) -> int:
             # run continues with identical solver behavior.
             save_pytree(args.checkpoint, app.deformable.state)
         if args.render_every and i % args.render_every == 0:
-            img = app.render_frame()
+            img = app.render_frame(hud=args.hud)
             try:
                 from PIL import Image
 

@@ -292,7 +292,9 @@ class DispInterp:
     support, the production coupled-trace kernel: center contributions
     are exactly zero beyond sigma, so the Pallas march culls center
     blocks per tile like prim blocks and the per-tile Lipschitz/max|u|
-    march bounds are certified sums over live blocks."""
+    march bounds come only from live blocks (SAMPLED at the centers by
+    default — accurate, heuristic between samples; rigorous weight-sum
+    bounds via wendland_pallas_spec(certified=True))."""
     centers: jax.Array       # [M, 3] world positions of the chosen nodes
     center_nodes: jax.Array  # [M] int32 FEM node ids
     a_inv: jax.Array         # [M+4, M+4] inverse of the kernel saddle
@@ -616,12 +618,22 @@ def disp_bounds_sampled(interp: DispInterp, w: jax.Array,
 
 
 def wendland_pallas_spec(interp: DispInterp, w: jax.Array,
-                         max_disp=None, fp_iters: int = 1):
+                         max_disp=None, fp_iters: int = 1,
+                         certified: bool = False):
     """Per-frame Pallas displacement spec for the wendland kernel path:
     centers padded to a CEN_BLOCK multiple (pad rows at 1e6 with zero
-    weights never test live), weights transposed to kernel row layout,
-    and the per-block |w| sums that feed the certified per-tile march
-    bounds (pallas_trace.trace_pallas)."""
+    weights never test live), plus the per-block march-bound inputs.
+
+    certified=False (default): bu/bg are |u| and |grad u| SAMPLED at
+    the centers and extended between samples by the march's 1.15/1.25
+    safety factors — accurate and tight, but a heuristic: |u| between
+    centers can in principle exceed the factored sample maxima (ADVICE
+    r4 #2). certified=True: bu/bg are rigorous per-block bounds — for
+    block b, every point within reach of b's support region satisfies
+    |u(x)| <= sum over blocks b' whose support overlaps b's reach of
+    sum_{k in b'} |w_k| (phi <= 1), and |grad u| likewise with the
+    kernel slope bound — loose (no cancellation), so marches slow down,
+    but the step bounds then hold unconditionally."""
     from .pallas_trace import CEN_BLOCK, WendlandDisp
 
     m = interp.centers.shape[0]
@@ -634,34 +646,65 @@ def wendland_pallas_spec(interp: DispInterp, w: jax.Array,
         [wk, jnp.zeros((mp - m, 3), jnp.float32)], 0
     ) if mp > m else wk
     waff = w[m:].T.astype(jnp.float32)                # [3, 4]
-    # Per-block SAMPLED march-bound inputs: |u| and |grad u| evaluated
-    # exactly AT the centers ([M, M] dense — ~1 MFLOP per frame). The
-    # weight-sum bounds (sum|w_k|) are certified but uselessly loose
-    # (neighboring-center cancellation is the norm: measured sum|w| gives
-    # L ~ 5-8 where the true max |grad u| is ~0.1, which zeroes the
-    # adaptive march and costs ~90 ms/frame in fixed stepping); sampling
-    # at the centers is exact there and the per-tile bounds extend
-    # between samples with the disp_bounds_sampled safety factors.
     c = interp.centers
-    diff = c[:, None] - c[None]                       # [M, M, 3]
-    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-24))
-    u_c = _phi_dist(interp, d) @ wk + w[m] + c @ w[m + 1:]
-    g_c = jnp.einsum(
-        "jka,kb->jab", diff * _dphi_over_d(interp, d)[..., None], wk
-    ) + w[m + 1:]
-    un = jnp.sqrt(jnp.sum(u_c * u_c, -1))             # [M]
-    gn = jnp.sqrt(jnp.sum(g_c * g_c, (-2, -1)))       # [M] Frobenius
-    if mp > m:
-        un = jnp.concatenate([un, jnp.zeros(mp - m)], 0)
-        gn = jnp.concatenate([gn, jnp.zeros(mp - m)], 0)
-    bu = un.reshape(-1, CEN_BLOCK).max(1)             # [NBc]
-    bg = gn.reshape(-1, CEN_BLOCK).max(1)
+    if certified:
+        # Rigorous per-block bounds from weight sums: |w| rows grouped
+        # per block, summed over every block within 2*sigma (a point in
+        # b's sigma-reach can see centers one more sigma away).
+        wn = jnp.sqrt(jnp.sum(wk * wk, -1))           # [M]
+        if mp > m:
+            wn_p = jnp.concatenate([wn, jnp.zeros(mp - m)], 0)
+            cen_p = cen
+        else:
+            wn_p, cen_p = wn, c
+        blk_sum = wn_p.reshape(-1, CEN_BLOCK).sum(1)  # [NBc]
+        cb = cen_p.reshape(-1, CEN_BLOCK, 3)
+        b_lo = cb.min(1)
+        b_hi = cb.max(1)
+        reach = 2.0 * interp.sigma
+        near = jnp.all(
+            (b_lo[:, None] <= b_hi[None] + reach)
+            & (b_hi[:, None] >= b_lo[None] - reach), -1
+        )                                             # [NBc, NBc]
+        bu = near @ blk_sum                           # sum over near
+        bg = (WENDLAND_DPHI_MAX / interp.sigma) * bu
+        # (the tail-free interpolant has no affine part; if one exists
+        #  the caller's aff bound adds on top via bfr below)
+    else:
+        # Per-block SAMPLED march-bound inputs: |u| and |grad u|
+        # evaluated exactly AT the centers ([M, M] dense — ~1 MFLOP per
+        # frame). The weight-sum bounds above are rigorous but loose
+        # (neighboring-center cancellation is the norm: measured sum|w|
+        # gives L ~ 5-8 where the true max |grad u| is ~0.1, which
+        # zeroes the adaptive march and costs ~90 ms/frame in fixed
+        # stepping); sampling at the centers is exact there and the
+        # per-tile bounds extend between samples with the
+        # disp_bounds_sampled safety factors.
+        diff = c[:, None] - c[None]                   # [M, M, 3]
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-24))
+        u_c = _phi_dist(interp, d) @ wk + w[m] + c @ w[m + 1:]
+        g_c = jnp.einsum(
+            "jka,kb->jab", diff * _dphi_over_d(interp, d)[..., None], wk
+        ) + w[m + 1:]
+        un = jnp.sqrt(jnp.sum(u_c * u_c, -1))         # [M]
+        gn = jnp.sqrt(jnp.sum(g_c * g_c, (-2, -1)))   # [M] Frobenius
+        if mp > m:
+            un = jnp.concatenate([un, jnp.zeros(mp - m)], 0)
+            gn = jnp.concatenate([gn, jnp.zeros(mp - m)], 0)
+        bu = un.reshape(-1, CEN_BLOCK).max(1)         # [NBc]
+        bg = gn.reshape(-1, CEN_BLOCK).max(1)
     bfr = jnp.sqrt(jnp.sum(w[m + 1:] ** 2))
     if max_disp is None:
-        # Per-frame displacement bound: max over centers (u interpolates
-        # there) extended by the same between-sample safety the march
-        # bounds use, + the Lipschitz fill term (max_disp_bound scheme).
-        max_disp = 1.15 * jnp.max(bu) + jnp.max(bg) * interp.fill_dist
+        if certified:
+            max_disp = jnp.max(bu)
+        else:
+            # Per-frame displacement bound: max over centers (u
+            # interpolates there) extended by the same between-sample
+            # safety the march bounds use, + the Lipschitz fill term
+            # (max_disp_bound scheme).
+            max_disp = (
+                1.15 * jnp.max(bu) + jnp.max(bg) * interp.fill_dist
+            )
     return WendlandDisp(
         centers=cen, w=wr, waff=waff,
         bu=jax.lax.stop_gradient(bu), bg=jax.lax.stop_gradient(bg),

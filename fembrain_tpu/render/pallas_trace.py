@@ -47,6 +47,9 @@ PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
 K_REFRESH = 8   # deformed-march evals between pull-back refreshes (the
                 # per-lane linear rest-point model rides in between;
                 # staleness is certified into the step slack)
+DRIFT_REFRESH_C = 1.0  # extra refresh when the drift slack exceeds
+                # C * (2 max|u|): far-field lanes marching big steps
+                # exhaust this in a few evals; near-surface lanes coast
 CEN_BLOCK = 32  # RBF centers per cull block (wendland deformed trace):
                 # big enough that each un-culled block is one meaty
                 # [CB, T] vector computation (few conds, good pipeline
@@ -649,7 +652,19 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
             eps = 2.0 * ldrift_s * jnp.abs(t - carry[6])
             de = d - eps
             d_safe = jnp.maximum(shrink_s * de, de - slack_s)
-            ref = jnp.bitwise_and(it, K_REFRESH - 1) == 0
+            # Periodic refresh PLUS a drift-budget trigger: eps grows
+            # with DISTANCE marched (2L dt), so far-field lanes taking
+            # big steps exhaust the budget in a couple of evals (where
+            # a refresh buys back large steps — the brain scene's
+            # higher |grad u| otherwise collapses far steps to
+            # base_step: 29.1 vs 18.4 rest iterations), while
+            # near-surface lanes with tiny steps coast a long time (an
+            # eps-vs-d trigger fires every eval there and reverts to
+            # the r4 every-eval refresh — measured 50 vs 33 ms).
+            stale = jnp.max(
+                jnp.where(alive > 0.0, eps, 0.0)
+            ) > DRIFT_REFRESH_C * slack_s
+            ref = (jnp.bitwise_and(it, K_REFRESH - 1) == 0) | stale
             return d_safe, ref
 
         carry0 = (

@@ -51,6 +51,7 @@ class MetricsLogger:
         self.jsonl_path = Path(jsonl_path) if jsonl_path else None
         self.sqlite_path = Path(sqlite_path) if sqlite_path else None
         self._buf: list[Record] = []
+        self.last: Record | None = None
         self._db = None
         if self.sqlite_path:
             self._db = sqlite3.connect(self.sqlite_path)
@@ -63,6 +64,7 @@ class MetricsLogger:
     def append(self, rec: Record) -> None:
         if not rec.timestamp:
             rec.timestamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        self.last = rec  # most recent record (feeds the live HUD rows)
         self._buf.append(rec)
         if len(self._buf) >= self.BATCH:
             self.flush()

@@ -183,3 +183,28 @@ def test_error_driven_refinement_beats_uniform_fps(setup):
     # refine_disp_interp commit message).
     assert err(refined) < 0.7 * err(uniform96), (err(refined),
                                                  err(uniform96))
+
+
+def test_certified_bounds_dominate_sampled_and_trace_agrees(setup):
+    """ADVICE r4 #2: wendland_pallas_spec(certified=True) produces
+    RIGOROUS per-block bounds (weight sums over reachable blocks) that
+    dominate the sampled ones everywhere; the march under certified
+    bounds still finds the same surface (slower steps, same roots)."""
+    scene, grid, g2n, nodes, interp, u, ro, rd = setup
+    w = disp_weights(interp, u)
+    s_samp = wendland_pallas_spec(interp, w)
+    s_cert = wendland_pallas_spec(interp, w, certified=True)
+    # Certified >= sampled per block (the sampled values are exact |u|
+    # and |grad u| at center points, which any sound bound must cover).
+    assert float(jnp.min(s_cert.bu - s_samp.bu)) >= -1e-6
+    assert float(jnp.min(s_cert.bg - s_samp.bg)) >= -1e-6
+    assert float(s_cert.max_disp) >= float(s_samp.max_disp) - 1e-6
+
+    from fembrain_tpu.render.pallas_trace import trace_pallas
+
+    t1, h1 = trace_pallas(scene, ro, rd, interpret=True, disp=s_samp)
+    t2, h2 = trace_pallas(scene, ro, rd, interpret=True, disp=s_cert)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert (h1 == h2).mean() > 0.99
+    m = h1 & h2
+    assert np.median(np.abs(np.asarray(t1)[m] - np.asarray(t2)[m])) < 5e-3
