@@ -47,9 +47,6 @@ PRIM_BLOCK = 8  # prims per cull block (f32 sublane granularity)
 K_REFRESH = 8   # deformed-march evals between pull-back refreshes (the
                 # per-lane linear rest-point model rides in between;
                 # staleness is certified into the step slack)
-DRIFT_REFRESH_C = 1.0  # extra refresh when the drift slack exceeds
-                # C * (2 max|u|): far-field lanes marching big steps
-                # exhaust this in a few evals; near-surface lanes coast
 CEN_BLOCK = 32  # RBF centers per cull block (wendland deformed trace):
                 # big enough that each un-culled block is one meaty
                 # [CB, T] vector computation (few conds, good pipeline
@@ -652,19 +649,14 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
             eps = 2.0 * ldrift_s * jnp.abs(t - carry[6])
             de = d - eps
             d_safe = jnp.maximum(shrink_s * de, de - slack_s)
-            # Periodic refresh PLUS a drift-budget trigger: eps grows
-            # with DISTANCE marched (2L dt), so far-field lanes taking
-            # big steps exhaust the budget in a couple of evals (where
-            # a refresh buys back large steps — the brain scene's
-            # higher |grad u| otherwise collapses far steps to
-            # base_step: 29.1 vs 18.4 rest iterations), while
-            # near-surface lanes with tiny steps coast a long time (an
-            # eps-vs-d trigger fires every eval there and reverts to
-            # the r4 every-eval refresh — measured 50 vs 33 ms).
-            stale = jnp.max(
-                jnp.where(alive > 0.0, eps, 0.0)
-            ) > DRIFT_REFRESH_C * slack_s
-            ref = (jnp.bitwise_and(it, K_REFRESH - 1) == 0) | stale
+            # Purely periodic refresh. Two adaptive triggers were
+            # measured and REJECTED on real TPU (r5): refresh-when-
+            # eps>0.35*d degenerates to every-eval refreshes at the
+            # surface (50 vs 33 ms/frame), and a drift-budget trigger
+            # (eps > C*slack) is a wash at C>=1 and worse at C=0.5 on
+            # both bench scenes — the drift slack's step loss and the
+            # extra refresh cost balance almost exactly.
+            ref = jnp.bitwise_and(it, K_REFRESH - 1) == 0
             return d_safe, ref
 
         carry0 = (

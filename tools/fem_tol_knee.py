@@ -58,7 +58,7 @@ def main() -> None:
     jax.block_until_ready(st0.q)
     ref, _ = mk(1e-6, 10)(st0)
 
-    for tol in (1e-6, 1e-5, 1e-4, 3e-4, 1e-3, 3e-3):
+    for tol in (1e-6, 1e-5, 1e-4, 3e-4, 1e-3, 3e-3, 1e-2, 3e-2):
         go = mk(tol, 10)
         st, its = go(st0)                 # compile + warm
         jax.block_until_ready(st.q)
