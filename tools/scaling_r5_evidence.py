@@ -211,10 +211,12 @@ def matvec_mfu(out):
         "arith_intensity_flop_per_byte": round(flop / traffic, 1),
         "hbm_bound_ceiling_gflops": round(819 * flop / traffic, 0),
         "note": (
-            "v5e HBM ~819 GB/s: at this arithmetic intensity the apply "
-            "is near the bandwidth roofline, so further matvec speed "
-            "needs fewer CG iterations (the multigrid preconditioner), "
-            "not more FLOPs/s"
+            "at this 20K-cell grid the apply sits far below BOTH "
+            "rooflines (bandwidth ceiling at 10 FLOP/B ~ 8.3 TFLOP/s, "
+            "VPU ~ 7.7): the per-apply cost is occupancy/fusion-"
+            "overhead dominated at small dims — larger grids amortize "
+            "it, and solver wall time is governed by CG iteration "
+            "count (the multigrid preconditioner), not matvec FLOP/s"
         ),
     }
     print(json.dumps(rec), file=out, flush=True)
@@ -234,17 +236,19 @@ def aot_compile(out):
         from jax.experimental import topologies
 
         topo = None
-        for name in ("v5e:2x4", "v5litepod-8", "v5e-8"):
+        errs = []
+        for name in ("v5e:2x4", "v5e:1x8", "v5litepod-8", "v4:2x2x1"):
             try:
-                topo = topologies.get_topology_desc(
-                    "", "tpu", topology_name=name
-                )
+                topo = topologies.get_topology_desc(name, "tpu")
                 rec["topology"] = name
                 break
-            except Exception:
+            except Exception as te:  # noqa: BLE001
+                errs.append(f"{name}: {te}")
                 continue
         if topo is None:
-            raise RuntimeError("no TPU topology descriptor available")
+            raise RuntimeError(
+                "no TPU topology descriptor available: " + "; ".join(errs)[:400]
+            )
         devs = np.array(topo.devices[:8])
     except Exception as e:  # noqa: BLE001
         rec["topology_error"] = f"{type(e).__name__}: {e}"
