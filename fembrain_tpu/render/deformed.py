@@ -43,6 +43,13 @@ from .sphere_trace import TraceParams, _ray_box
 # trace costs 95/154/272 ms. k = 2 keeps a safety margin at larger L.
 FIXED_POINT_ITERS = 2
 
+# All interpolant matmuls run at f32 MXU precision: the TPU's bf16
+# default corrupts the E-gradient through the ill-conditioned kernel
+# inverse a_inv (measured on-device autodiff -0.206 vs the f64/CPU-f32
+# truth -0.322 with bf16; FD was unaffected because its systematic
+# error cancels across the stencil).
+_HI = jax.lax.Precision.HIGHEST
+
 
 def displacement_grid(grid: GridSpec, grid_to_node: jax.Array,
                       u: jax.Array) -> jax.Array:
@@ -535,7 +542,7 @@ def disp_weights_centers(interp: DispInterp, u_c: jax.Array):
     """RBF weights from displacements AT the centers: [M+4, 3] =
     A_inv @ rhs. Linear in u_c, so gradients flow through."""
     rhs = jnp.concatenate([u_c, jnp.zeros((4, 3), u_c.dtype)], 0)
-    return interp.a_inv @ rhs                         # [M+4, 3]
+    return jnp.matmul(interp.a_inv, rhs, precision=_HI)  # [M+4, 3]
 
 
 def disp_weights(interp: DispInterp, q: jax.Array):
@@ -553,8 +560,8 @@ def sample_disp_rbf(interp: DispInterp, w: jax.Array,
     d = jnp.sqrt(jnp.maximum(
         jnp.sum((pts[:, None] - interp.centers[None]) ** 2, -1), 1e-24
     ))                                                # [N, M]
-    u = _phi_dist(interp, d) @ w[:m]                  # [N, 3]
-    u = u + w[m] + pts @ w[m + 1:]
+    u = jnp.matmul(_phi_dist(interp, d), w[:m], precision=_HI)
+    u = u + w[m] + jnp.matmul(pts, w[m + 1:], precision=_HI)
     return u
 
 
@@ -602,10 +609,12 @@ def disp_bounds_sampled(interp: DispInterp, w: jax.Array,
     m = interp.centers.shape[0]
     diff = pts[:, None] - interp.centers[None]        # [N, M, 3]
     d = jnp.sqrt(jnp.maximum(jnp.sum(diff ** 2, -1), 1e-24))
-    u = _phi_dist(interp, d) @ w[:m] + w[m] + pts @ w[m + 1:]   # [N, 3]
+    u = (jnp.matmul(_phi_dist(interp, d), w[:m], precision=_HI)
+         + w[m] + jnp.matmul(pts, w[m + 1:], precision=_HI))  # [N, 3]
     # grad u[a, b] = sum_k (dphi/dr / r) diff[n, k, a] w_k[b] + B[a, b]
     g = jnp.einsum(
-        "nka,kb->nab", diff * _dphi_over_d(interp, d)[..., None], w[:m]
+        "nka,kb->nab", diff * _dphi_over_d(interp, d)[..., None], w[:m],
+        precision=_HI,
     ) + w[m + 1:]
     l_max = jnp.sqrt(jnp.max(jnp.sum(g ** 2, (-2, -1))))   # Frobenius
     u_max = jnp.sqrt(jnp.max(jnp.sum(u ** 2, -1)))
@@ -682,9 +691,11 @@ def wendland_pallas_spec(interp: DispInterp, w: jax.Array,
         # disp_bounds_sampled safety factors.
         diff = c[:, None] - c[None]                   # [M, M, 3]
         d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-24))
-        u_c = _phi_dist(interp, d) @ wk + w[m] + c @ w[m + 1:]
+        u_c = (jnp.matmul(_phi_dist(interp, d), wk, precision=_HI)
+               + w[m] + jnp.matmul(c, w[m + 1:], precision=_HI))
         g_c = jnp.einsum(
-            "jka,kb->jab", diff * _dphi_over_d(interp, d)[..., None], wk
+            "jka,kb->jab", diff * _dphi_over_d(interp, d)[..., None], wk,
+            precision=_HI,
         ) + w[m + 1:]
         un = jnp.sqrt(jnp.sum(u_c * u_c, -1))         # [M]
         gn = jnp.sqrt(jnp.sum(g_c * g_c, (-2, -1)))   # [M] Frobenius
