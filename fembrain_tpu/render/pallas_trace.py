@@ -117,10 +117,11 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
     bracket-refinement eval), a traced scalar bool = refresh iff set
     (the periodic march policy), Python False = never (ride the carried
     linear model). `pmask` optionally narrows the pull-back hull (the
-    refinement passes the found lanes). step_ctrl(d, carry, alive, t,
-    it) -> (d_safe, refresh) converts the rest-support distance d into
-    the per-lane safe deformed step and the tile-wide refresh flag for
-    the NEXT eval."""
+    refinement passes the found lanes); the refresh SCHEDULE is the
+    march body's static structure (one refresh + K_REFRESH-1 model
+    evals per while iteration). step_ctrl(d, carry, alive, t) ->
+    d_safe converts the rest-support distance d into the per-lane safe
+    deformed step."""
     iso = params.iso
     r_iso = jnp.sqrt(1.0 - iso ** (1.0 / 3.0))
     if eval_c is None:
@@ -144,16 +145,15 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
         def cond(s):
             return (s[6] < params.max_steps) & (jnp.sum(s[5]) > 0.0)
 
-        def step_once(s):
+        def step_once(s, ref=None):
             t, f, t_prev, f_prev, found, alive, it, car = s
-            ref = None
             if adaptive:
                 # Shared piecewise bound (sphere_trace.support_radius_bound)
                 # so the XLA and Pallas marches take identical steps.
                 r = support_radius_bound(f + iso)
                 d = (r - r_iso) * inv_stretch
                 if step_ctrl is not None:
-                    d, ref = step_ctrl(d, car, alive, t, it)
+                    d = step_ctrl(d, car, alive, t)
                 elif shrink is not None:
                     d = jnp.maximum(shrink * d, d - slack)
                 dt = jnp.maximum(base_step, 0.95 * d)
@@ -175,13 +175,27 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 car,
             )
 
-        def body(s):
-            # Two masked sub-steps per while iteration: halves the
-            # tile-wide alive reduction + loop sync overhead. Updates are
-            # lane-masked, so outputs are bit-identical to single
-            # stepping (a tile finishing on the odd sub-step just runs
-            # one fully-masked extra eval).
-            return step_once(step_once(s))
+        if step_ctrl is not None:
+            # Deformed march: a STATIC refresh schedule — one full
+            # pull-back eval then K_REFRESH-1 linear-model evals per
+            # while iteration. No per-eval lax.cond: Mosaic compiles
+            # both cond branches and the branch machinery costs nearly
+            # as much as always pulling (measured: K=32 saved only
+            # 1.7 ms over K=8 under the conditioned policy). The
+            # tile-wide alive reduction also amortizes over K evals.
+            def body(s):
+                s = step_once(s, None)          # refresh (full pull)
+                for _ in range(K_REFRESH - 1):
+                    s = step_once(s, False)     # ride the model
+                return s
+        else:
+            def body(s):
+                # Two masked sub-steps per while iteration: halves the
+                # tile-wide alive reduction + loop sync overhead.
+                # Updates are lane-masked, so outputs are bit-identical
+                # to single stepping (a tile finishing on the odd
+                # sub-step just runs one fully-masked extra eval).
+                return step_once(step_once(s))
 
         t, f, t_prev, f_prev, found, alive, n_it, car = jax.lax.while_loop(
             cond, body, state
@@ -632,7 +646,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
             ze = car2[2] + a2 * car2[5]
             return field_rest(xe, ye, ze), car2
 
-        def step_ctrl(d, carry, alive, t, it):
+        def step_ctrl(d, carry, alive, t):
             """Safe deformed step + periodic refresh flag.
 
             d is the rest-support distance bound AT THE ESTIMATED rest
@@ -649,15 +663,14 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
             eps = 2.0 * ldrift_s * jnp.abs(t - carry[6])
             de = d - eps
             d_safe = jnp.maximum(shrink_s * de, de - slack_s)
-            # Purely periodic refresh. Two adaptive triggers were
-            # measured and REJECTED on real TPU (r5): refresh-when-
-            # eps>0.35*d degenerates to every-eval refreshes at the
-            # surface (50 vs 33 ms/frame), and a drift-budget trigger
-            # (eps > C*slack) is a wash at C>=1 and worse at C=0.5 on
-            # both bench scenes — the drift slack's step loss and the
-            # extra refresh cost balance almost exactly.
-            ref = jnp.bitwise_and(it, K_REFRESH - 1) == 0
-            return d_safe, ref
+            # Refresh scheduling lives in the STATIC march body (one
+            # refresh + K_REFRESH-1 model evals per while iteration);
+            # two adaptive triggers were measured and REJECTED on real
+            # TPU (r5): refresh-when-eps>0.35*d degenerates to
+            # every-eval refreshes at the surface (50 vs 33 ms/frame),
+            # and a drift-budget trigger (eps > C*slack) is a wash at
+            # C>=1 and worse at C=0.5 on both bench scenes.
+            return d_safe
 
         carry0 = (
             ro[0] + t_enter * rd[0],
