@@ -292,6 +292,12 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
     # 256 centers cost less than 128 biharmonic ones (trace_cost_sweep).
     interp = build_disp_interp(nodes, n_centers=256, fixed=fixed,
                                kernel="wendland", sigma_fill=2.5)
+    # March refresh cycle: higher-curvature displacement fields drift
+    # off the per-lane linear model faster, so the synthesized brain
+    # (max|grad u| 0.129 vs the ventricle's 0.100) runs shorter cycles
+    # (r5 sweep: brain 41.7 ms at k=4 vs 47.0 at k=8; ventricle 25.4 at
+    # k=8 vs 29.9 at k=4, chain-10 1080p).
+    k_refresh = 4 if name == "brain" else 0
     n2g = gfm.node_to_grid_index(tm)
     cgi = jnp.asarray(n2g[np.asarray(interp.center_nodes)])
     f_ext = np.zeros((int(np.prod(grid.dims)), 3), np.float32)
@@ -359,6 +365,7 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
                 scene, interp, w, o + acc * 1e-30, d, params,
                 image_hw=(height, width) if on_tpu else None,
                 need_grads=False, bound_pts=bound_pts,
+                k_refresh=k_refresh,
             )
             return jnp.sum(t), None
         acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n_frames)
@@ -374,6 +381,7 @@ def _coupled_metric(name: str, cellsize: float, width: int, height: int,
                 scene, gf, interp, cgi, st, f_ext, o + acc * 1e-30, d,
                 params=params, image_hw=(height, width) if on_tpu else None,
                 use_pallas=on_tpu, bound_pts=bound_pts, cg_tol=cg_tol,
+                k_refresh=k_refresh,
             )
             return (st2, jnp.sum(t)), None
         (st, acc), _ = jax.lax.scan(

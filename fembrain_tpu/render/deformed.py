@@ -628,7 +628,7 @@ def disp_bounds_sampled(interp: DispInterp, w: jax.Array,
 
 def wendland_pallas_spec(interp: DispInterp, w: jax.Array,
                          max_disp=None, fp_iters: int = 1,
-                         certified: bool = False):
+                         certified: bool = False, k_refresh: int = 0):
     """Per-frame Pallas displacement spec for the wendland kernel path:
     centers padded to a CEN_BLOCK multiple (pad rows at 1e6 with zero
     weights never test live), plus the per-block march-bound inputs.
@@ -725,6 +725,7 @@ def wendland_pallas_spec(interp: DispInterp, w: jax.Array,
         ),
         sigma=float(interp.sigma),
         fp_iters=int(fp_iters),
+        k_refresh=int(k_refresh),
     )
 
 
@@ -882,7 +883,8 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
                             fp_iters: int = FIXED_POINT_ITERS,
                             need_grads: bool = True,
                             bound_pts: jax.Array | None = None,
-                            tile: int | None = None):
+                            tile: int | None = None,
+                            k_refresh: int = 0):
     """RBF-deformed sphere trace at Pallas tile speed.
 
     The forward march runs inside the additive Pallas kernel with the
@@ -939,8 +941,14 @@ def trace_deformed_rbf_fast(scene: Scene, interp: DispInterp, w: jax.Array,
             # from-scratch `fp_iters` dense pull-back. max_disp=None:
             # brackets inflate by THIS frame's measured |u| bound, not
             # the caller's static worst case.
+            # k_refresh: evals per refresh cycle of the static march
+            # schedule; 0 = module default (8). Scenes with higher
+            # displacement curvature (larger bg) march faster with
+            # shorter cycles — the synthesized brain measured 41.7 ms
+            # at k=4 vs 47.0 at k=8 (chain-10 1080p).
             disp = wendland_pallas_spec(
-                interp, jax.lax.stop_gradient(w_), None, 1
+                interp, jax.lax.stop_gradient(w_), None, 1,
+                k_refresh=k_refresh,
             )
         else:
             disp = (interp.centers, w_, shrink, slack, max_disp, fp_iters)
@@ -1011,7 +1019,8 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
                       cg_tol: float | None = None,
                       max_disp: float = 0.5,
                       fp_iters: int = FIXED_POINT_ITERS,
-                      bound_pts: jax.Array | None = None):
+                      bound_pts: jax.Array | None = None,
+                      k_refresh: int = 0):
     """North-star step on the fast path: force -> implicit FEM solve ->
     RBF displacement weights (one matmul) -> adaptive deformed trace.
     Same differentiable structure as coupled_step; the displacement field
@@ -1045,6 +1054,7 @@ def coupled_step_fast(scene: Scene, fem_mesh, interp: DispInterp,
             scene, interp, w, ro, rd, params, image_hw=image_hw,
             max_disp=max_disp, fp_iters=fp_iters,
             need_grads=differentiable, bound_pts=bound_pts,
+            k_refresh=k_refresh,
         )
     else:
         t, hit = trace_deformed_rbf(
@@ -1067,7 +1077,8 @@ def coupled_step_grid_fast(scene: Scene, gf, interp: DispInterp,
                            cg_tol: float | None = None,
                            max_disp: float = 0.5,
                            fp_iters: int = FIXED_POINT_ITERS,
-                           bound_pts: jax.Array | None = None):
+                           bound_pts: jax.Array | None = None,
+                           k_refresh: int = 0):
     """North-star step on the GRID-FEM fast path: the production coupled
     frame. Same structure as coupled_step_fast, but the implicit solve is
     fem.grid_fem.timestep (stencil matvec + multigrid preconditioner —
@@ -1094,6 +1105,7 @@ def coupled_step_grid_fast(scene: Scene, gf, interp: DispInterp,
             scene, interp, w, ro, rd, params, image_hw=image_hw,
             max_disp=max_disp, fp_iters=fp_iters,
             need_grads=differentiable, bound_pts=bound_pts,
+            k_refresh=k_refresh,
         )
     else:
         t, hit = trace_deformed_rbf(

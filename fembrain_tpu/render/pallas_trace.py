@@ -81,6 +81,10 @@ class WendlandDisp:
                          #   worst case costs ~60% more live tiles)
     sigma: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     fp_iters: int = dataclasses.field(metadata=dict(static=True), default=1)
+    k_refresh: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # k_refresh: evals per refresh cycle in the static march schedule
+    # (0 = module default K_REFRESH); higher-curvature displacement
+    # fields may prefer shorter cycles.
 
 _SCENE_FIELDS = (
     "prim_type", "prim_mtx", "prim_pos", "prim_dir", "prim_res",
@@ -97,7 +101,7 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
                 inv_stretch: float, base_step, ro, rd,
                 t_enter, t_exit, alive0, tile_cond: bool,
                 shrink=None, slack=None, eval_c=None, carry0=None,
-                step_ctrl=None):
+                step_ctrl=None, k_cycle=None):
     """Shared tile march: sphere-trace [1, TILE] ray rows to the iso
     crossing with tile-local early exit, then refine the bracket. eval_f
     maps a [1, TILE] t-row to field-minus-iso. Returns (t_root, found).
@@ -183,9 +187,11 @@ def _march_tile(eval_f, params: TraceParams, adaptive: bool,
             # as much as always pulling (measured: K=32 saved only
             # 1.7 ms over K=8 under the conditioned policy). The
             # tile-wide alive reduction also amortizes over K evals.
+            kc = k_cycle or K_REFRESH
+
             def body(s):
                 s = step_once(s, None)          # refresh (full pull)
-                for _ in range(K_REFRESH - 1):
+                for _ in range(kc - 1):
                     s = step_once(s, False)     # ride the model
                 return s
         else:
@@ -503,7 +509,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
         # argument as the r4 scheme — but the linear model's ACTUAL
         # error is O(curvature * dt^2), so K_REFRESH can be ~8 where r4
         # needed every-eval refreshes near the surface.
-        sigma, n_cb = wparams
+        sigma, n_cb, k_refresh = wparams
         inv_sig = 1.0 / sigma
         CB = CEN_BLOCK
 
@@ -703,6 +709,7 @@ def _trace_kernel_additive(scene: Scene, params: TraceParams,
         ro, rd, t_enter, t_exit, alive0, tile_cond,
         shrink=shrink_s, slack=slack_s, eval_c=eval_c, carry0=carry0,
         step_ctrl=step_ctrl,
+        k_cycle=(k_refresh if wparams is not None and fp_iters else None),
     )
     if DEBUG_PULL_STATS and step_ctrl is not None:
         # Raw counters (t_root/found carry cnt_pull/cnt_blocks here).
@@ -993,7 +1000,8 @@ def trace_pallas(scene: Scene, ro: jax.Array, rd: jax.Array,
             disp_args = [disp.centers, disp.w, disp.waff, cboxes,
                          clive_k]
             disp_specs = [vmem, vmem, vmem, smem_full, clive_spec]
-            wparams = (float(disp.sigma), n_cb)
+            wparams = (float(disp.sigma), n_cb,
+                       int(disp.k_refresh) or K_REFRESH)
         elif disp is not None:
             m = centers.shape[0]
             # Row layouts for the kernel: weights transposed [3, M]; the
