@@ -7,18 +7,25 @@ sphere-trace 1080p at 30 fps (the BASELINE.json north-star rate); the
 reference itself publishes no numbers (BASELINE.md).
 
 Secondary metrics (stderr JSON lines):
-  - rays_per_sec_per_chip_brain_1080p       (BASELINE config #3)
+  - rays_per_sec_per_chip_brain_1080p       (BASELINE config #3;
+    synthesized brain — reference assets stripped from the mount)
+  - polygonize_ms_{ventricle,brain}         (+ tet_extract_ms: the
+    reference's msPolyTriangleMesh/msPolyTetrahedraMesh fields)
   - coupled_fps_1080p_{ventricle,brain}     (BASELINE config #5, grid FEM
     + RBF displacement + Pallas deformed trace, with a per-stage
     decomposition fem/rbf/trace in ms)
   - fem_solve_steps_per_sec                 (unstructured solver, cube)
   - fem_grid_steps_per_sec_ventricle        (production grid-MG solver)
-  - grad_check_max_rel_err                  (1-prim sphere, autodiff vs FD)
+  - grad_check_max_rel_err                  (1-prim sphere: autodiff vs
+    FD on the largest-gradient primitive, FD magnitude asserted > 0)
   - grad_check_ventricle_max_rel_err        (17-prim blend w/ cylinders)
-  - coupled_E_grad_rel_err                  (image loss -> Young's modulus
-    through custom_linear_solve + implicit hit differentiation vs FD,
-    f64 CPU subprocess — see tools/egrad_check.py for the conditioning
-    rationale; the r3 f32 in-process version was FD noise, not a bug)
+  - coupled_E_grad_rel_err[_ventricle]      (image loss -> Young's
+    modulus through custom_linear_solve + implicit hit differentiation
+    vs FD, f64 CPU subprocess — tools/egrad_check.py; the r3 f32
+    in-process version was FD noise, not a bug)
+  - coupled_E_grad_rel_err_f32_device       (same graph in f32 on the
+    bench backend, FD eps set >= 100x the measured noise floor — this
+    check caught the bf16-matmul gradient corruption in r5)
 """
 from __future__ import annotations
 
