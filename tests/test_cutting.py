@@ -174,11 +174,19 @@ def test_probe_contact_forces():
     nodes, tets = samples.truth_cube(3, 3, 3, 0.5)
     probe = AvatarProbe(half_extents=np.array([0.3, 0.3, 0.3]),
                         force_coeff=1000.0)
-    probe.pos = np.array([0.0, 2.0, 0.0])
-    idx, forces = probe.move_to([0.0, 1.05, 0.0], nodes)
+    # Descend gradually (reference probing: the sticky contact face is
+    # picked at FIRST touch — a teleport deep into the cube would
+    # legitimately pick a side face for the corner vertices).
+    probe.pos = np.array([0.0, 1.5, 0.0])
+    idx = np.zeros(0)
+    for y in (1.3, 1.2, 1.1, 1.05):
+        idx, forces = probe.move_to([0.0, y, 0.0], nodes)
     assert idx.size > 0
-    # Force along the move direction (downward).
+    # Contact through the probe's BOTTOM face: penetration forces point
+    # down (the face normal), growing with depth.
+    assert probe.contact_face == 2
     assert (forces[:, 1] < 0).all()
+    assert np.abs(forces[:, [0, 2]]).max() == 0.0
 
 
 def test_cut_polygonized_scene_end_to_end():
